@@ -1,0 +1,399 @@
+"""Device (TPU) arithmetic in GF(p), p = 2^128 - 45*2^40 + 1.
+
+All functions operate on limb arrays of shape ``(8,) + S`` (uint32, 16-bit
+limbs, limb 0 least significant; see :mod:`multilinear_tpu.field.limbs`) and
+are pure jnp -> XLA fuses them into single elementwise kernels on the VPU.
+
+Design notes (TPU-first, not a port):
+
+* 16x16 -> 32 bit products are exact in one uint32 lane multiply, so a full
+  128x128 -> 256 bit schoolbook product is 64 lane multiplies plus shifts and
+  adds.  Column sums are accumulated as split lo/hi 16-bit streams so no
+  accumulator ever exceeds 2^19 - no 64-bit integers needed anywhere.
+
+* Reduction exploits the sparse modulus: 2^128 = K (mod p) with
+  K = 45*2^40 - 1 < 2^46, so a 256-bit product folds to canonical form with
+  three short "multiply the high part by K and add" passes plus one
+  conditional subtract.  Each pass has a proven static bound (comments
+  below), so there is no data-dependent looping - everything is a fixed
+  straight-line program, which is exactly what XLA wants.
+
+* Sums over large axes never carry element-by-element: limbs are < 2^16, so
+  up to 2^16 values can be added in plain uint32 lanes before one vectorized
+  carry-normalize.  This makes sumcheck partial sums pure `jnp.sum` calls.
+
+Reference semantics being reproduced: winterfell f128 canonical arithmetic
+(reference src/field.rs), used by every layer above.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import K_LIMBS, LIMB_MASK, NLIMBS, P_LIMBS
+
+_P = [jnp.uint32(int(x)) for x in P_LIMBS]
+_K = [jnp.uint32(int(x)) for x in K_LIMBS]  # 3 limbs of K = 45*2^40 - 1
+
+# ---------------------------------------------------------------------------
+# limb-list helpers.  A "limb list" is a Python list of equally-shaped uint32
+# arrays; list index = limb index.  Static Python loops unroll into straight-
+# line XLA ops.
+# ---------------------------------------------------------------------------
+
+
+def _split(a):
+    """(8,)+S array -> list of 8 S-shaped limb planes."""
+    return [a[i] for i in range(NLIMBS)]
+
+
+def _join(limbs):
+    return jnp.stack(limbs, axis=0)
+
+
+def _add_chain(a, b):
+    """Add two same-length clean (<2^16) limb lists; return (limbs, carry)."""
+    out = []
+    carry = None
+    for x, y in zip(a, b):
+        v = x + y if carry is None else x + y + carry
+        out.append(v & LIMB_MASK)
+        carry = v >> LIMB_BITS_SHIFT
+    return out, carry
+
+
+LIMB_BITS_SHIFT = 16
+
+
+def _sub_chain(a, b):
+    """Subtract clean limb lists (a - b); return (limbs, borrow in {0,1})."""
+    out = []
+    borrow = jnp.uint32(0)
+    for x, y in zip(a, b):
+        yb = y + borrow  # <= 2^16, no overflow
+        d = x - yb  # uint32 wraparound; low 16 bits are the true limb
+        out.append(d & LIMB_MASK)
+        borrow = (x < yb).astype(jnp.uint32)
+    return out, borrow
+
+
+def _canon_sub_p(limbs):
+    """Map a clean 8-limb value < 2^128 into [0, p) by one conditional -p.
+
+    Valid because 2^128 < 2p.
+    """
+    diff, borrow = _sub_chain(limbs, _P)
+    lt_p = borrow != 0
+    return [jnp.where(lt_p, x, d) for x, d in zip(limbs, diff)]
+
+
+def _mul_k(hi):
+    """Multiply a clean limb list (len L) by K (3 limbs); returns L+3 clean limbs.
+
+    Column accumulators stay < 3 * 2^16 < 2^18; combine carries once.
+    """
+    L = len(hi)
+    ncols = L + 3
+    lo_acc = [None] * ncols
+    hi_acc = [None] * ncols
+
+    def acc(store, k, v):
+        store[k] = v if store[k] is None else store[k] + v
+
+    for i in range(L):
+        for j in range(3):
+            p = hi[i] * _K[j]  # < 2^32, exact
+            acc(lo_acc, i + j, p & LIMB_MASK)
+            acc(hi_acc, i + j, p >> 16)
+    out = []
+    carry = jnp.uint32(0)
+    for k in range(ncols):
+        v = carry
+        if lo_acc[k] is not None:
+            v = v + lo_acc[k]
+        if k > 0 and hi_acc[k - 1] is not None:
+            v = v + hi_acc[k - 1]
+        out.append(v & LIMB_MASK)
+        carry = v >> 16
+    # K*hi < 2^46 * 2^(16L) fits in L+3 limbs; final carry provably 0.
+    return out
+
+
+def _fold_ge8(t):
+    """Fold a clean limb list of length > 8 once: t[:8] + K * t[8:]."""
+    lo, hi = t[:8], t[8:]
+    kh = _mul_k(hi)  # len(hi)+3 clean limbs
+    n = max(8, len(kh))
+    a = lo + [jnp.zeros_like(lo[0])] * (n - 8)
+    b = kh + [jnp.zeros_like(lo[0])] * (n - len(kh))
+    s, carry = _add_chain(a, b)
+    return s, carry
+
+
+# ---------------------------------------------------------------------------
+# public field ops
+# ---------------------------------------------------------------------------
+
+
+def add(a, b):
+    """(a + b) mod p for canonical limb arrays."""
+    al, bl = _split(a), _split(b)
+    s, carry = _add_chain(al, bl)
+    # carry==1  =>  a+b = 2^128 + s_lo, and a+b - p = s_lo + K  (< p, no carry)
+    # carry==0  =>  result is s mod p via one conditional subtract.
+    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in _K]
+    k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
+    t, _ = _add_chain(s, k_or_zero)
+    return _join(_canon_sub_p(t))
+
+
+def sub(a, b):
+    """(a - b) mod p for canonical limb arrays."""
+    al, bl = _split(a), _split(b)
+    d, borrow = _sub_chain(al, bl)
+    # borrow==1 => true value is d + 2^128 - ... we want a-b+p = d - K (no borrow:
+    # d >= 2^128 - p + 1 = K + 1 whenever a < b).
+    k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in _K]
+    k_or_zero += [jnp.zeros_like(d[0])] * (NLIMBS - 3)
+    out, _ = _sub_chain(d, k_or_zero)
+    return _join(out)
+
+
+def neg(a):
+    """(-a) mod p."""
+    al = _split(a)
+    d, _ = _sub_chain(_P, al)
+    is_zero = is_zero_mask(a)
+    return _join([jnp.where(is_zero, jnp.uint32(0), x) for x in d])
+
+
+def is_zero_mask(a):
+    """Boolean mask of value-shape S: True where the element is 0."""
+    m = a[0] == 0
+    for i in range(1, NLIMBS):
+        m = m & (a[i] == 0)
+    return m
+
+
+def mul(a, b):
+    """(a * b) mod p.  The hot primitive: 64 lane muls + fixed fold chain."""
+    al, bl = _split(a), _split(b)
+
+    # --- full 256-bit schoolbook product, split-accumulated ---------------
+    ncols = 2 * NLIMBS
+    lo_acc = [None] * ncols
+    hi_acc = [None] * ncols
+
+    def acc(store, k, v):
+        store[k] = v if store[k] is None else store[k] + v
+
+    for i in range(NLIMBS):
+        ai = al[i]
+        for j in range(NLIMBS):
+            p = ai * bl[j]  # 16x16 -> 32, exact
+            acc(lo_acc, i + j, p & LIMB_MASK)
+            acc(hi_acc, i + j, p >> 16)
+    # column sums < 8 * 2^16 = 2^19; combine with carries (carry < 2^5).
+    t = []
+    carry = jnp.uint32(0)
+    for k in range(ncols):
+        v = carry
+        if lo_acc[k] is not None:
+            v = v + lo_acc[k]
+        if k > 0 and hi_acc[k - 1] is not None:
+            v = v + hi_acc[k - 1]
+        t.append(v & LIMB_MASK)
+        carry = v >> 16
+    # product < 2^256: final carry provably 0.
+
+    # --- sparse-modulus reduction, three bounded folds --------------------
+    # t (16 limbs) -> y = t_lo + K*t_hi            < 2^128 + 2^174 : 11 limbs
+    y, cy = _fold_ge8(t)  # len 11, carry provably 0 (2^175 < 2^176)
+    del cy
+    # y (11 limbs) -> z = y_lo + K*y_hi            < 2^128 + 2^94  : 9 limbs
+    z, cz = _fold_ge8(y[:11])
+    z = z + [cz]  # len(z)==8 from max(8, 3+3)=8? no: len = max(8, len(kh)); see below
+    # NOTE: len(y[8:]) == 3 -> kh len 6 -> sum len 8 with a real carry bit cz
+    # (z < 2^129, top in {0,1}).
+    # z (9 limbs) -> w = z_lo + K*z[8].  If z[8]==1 then z_lo < 2^94 so no
+    # carry; if z[8]==0 addend is 0.  Result fits 8 limbs, < 2^128.
+    kh = _mul_k([z[8]])  # 4 limbs
+    addend = kh + [jnp.zeros_like(z[0])] * 4
+    w, cw = _add_chain(z[:8], addend)
+    del cw  # provably 0
+    return _join(_canon_sub_p(w))
+
+
+def mul_small(a, k: int):
+    """(a * k) mod p for a small Python-int constant 0 <= k < 2^16."""
+    if k == 0:
+        return jnp.zeros_like(a)
+    if k == 1:
+        return a
+    al = _split(a)
+    kk = jnp.uint32(k)
+    out = []
+    carry = jnp.uint32(0)
+    for i in range(NLIMBS):
+        v = al[i] * kk + carry  # < 2^32 (a_i*k < 2^32-2^16, carry < 2^16)
+        out.append(v & LIMB_MASK)
+        carry = v >> 16
+    # value = out + 2^128*carry, carry < 2^16 -> fold K*carry (4 limbs)
+    kh = _mul_k([carry])
+    addend = kh + [jnp.zeros_like(al[0])] * 4
+    w, cw = _add_chain(out, addend)
+    # w < 2^128 + 2^62 may carry into 2^128: fold once more (cw in {0,1};
+    # if cw==1 then w < 2^62 so adding K cannot carry).
+    k_or_zero = [jnp.where(cw != 0, kj, jnp.uint32(0)) for kj in _K]
+    k_or_zero += [jnp.zeros_like(al[0])] * (NLIMBS - 3)
+    w2, _ = _add_chain(w, k_or_zero)
+    return _join(_canon_sub_p(w2))
+
+
+def normalize_wide(limbs32, extra_bits=16):
+    """Reduce a limb list whose limbs may be as large as 2^32 - 1.
+
+    Used after unchained `jnp.sum` accumulation.  Returns a canonical
+    (8,)+S array.
+    """
+    # carry-normalize into clean limbs (+ spill limbs for the high carries)
+    n = len(limbs32)
+    spill = (extra_bits + 15) // 16 + 1
+    out = []
+    carry = jnp.zeros_like(limbs32[0])
+    for i in range(n + spill):
+        v = carry
+        if i < n:
+            v = v + limbs32[i]
+        out.append(v & LIMB_MASK)
+        carry = v >> 16
+    t = out
+    while len(t) > 8:
+        s, c = _fold_ge8(t)
+        t = s if c is None else s + [c]
+        # strip statically-zero top limbs is not possible here; but each fold
+        # shrinks the value by ~82 bits, so this loop terminates: lengths go
+        # n -> max(8, n-5)+1 strictly decreasing until 9, then the {0,1} top
+        # limb folds to < 2^62 additions.
+        if len(t) == 9:
+            kh = _mul_k([t[8]])
+            addend = kh + [jnp.zeros_like(t[0])] * 4
+            w, cw = _add_chain(t[:8], addend)
+            k_or_zero = [jnp.where(cw != 0, kj, jnp.uint32(0)) for kj in _K]
+            k_or_zero += [jnp.zeros_like(t[0])] * (NLIMBS - 3)
+            t, _ = _add_chain(w, k_or_zero)
+    return _join(_canon_sub_p(t))
+
+
+def sum_mod(a, axis=1):
+    """Sum a canonical limb array over one value axis, mod p.
+
+    Chunks the axis so plain uint32 `jnp.sum` never overflows (limbs < 2^16
+    allow 2^15-element chunks with headroom), then carry-normalizes once per
+    level.  This keeps the whole reduction on the VPU with zero carry chains
+    in the inner loop.
+    """
+    if a.shape[axis] == 0:
+        raise ValueError("empty sum")
+    CH = 1 << 15
+    while a.shape[axis] > 1:
+        n = a.shape[axis]
+        if n <= CH:
+            s32 = jnp.sum(a, axis=axis, dtype=jnp.uint32)
+            return normalize_wide(_split_arr(s32), extra_bits=15)
+        chunks = -(-n // CH)
+        pad = chunks * CH - n
+        if pad:
+            padw = [(0, 0)] * a.ndim
+            padw[axis] = (0, pad)
+            a = jnp.pad(a, padw)
+        shp = list(a.shape)
+        shp[axis : axis + 1] = [chunks, CH]
+        a = a.reshape(shp)
+        s32 = jnp.sum(a, axis=axis + 1, dtype=jnp.uint32)  # limbs < 2^31
+        a = normalize_wide(_split_arr(s32), extra_bits=15)
+    return jnp.squeeze(a, axis=axis)
+
+
+def _split_arr(a):
+    return [a[i] for i in range(a.shape[0])]
+
+
+def select(mask, a, b):
+    """Elementwise select between two limb arrays by a value-shaped bool mask."""
+    return jnp.where(mask[None], a, b)
+
+
+def full_like_zero(shape):
+    return jnp.zeros((NLIMBS,) + tuple(shape), dtype=jnp.uint32)
+
+
+def broadcast_scalar(limbs8, shape):
+    """Broadcast an (8,) scalar limb vector to (8,)+shape."""
+    x = jnp.asarray(limbs8, dtype=jnp.uint32)
+    return jnp.broadcast_to(x.reshape((NLIMBS,) + (1,) * len(shape)), (NLIMBS,) + tuple(shape))
+
+
+def dot_mod(a, b, axis=1):
+    """sum(a*b) mod p over one value axis."""
+    return sum_mod(mul(a, b), axis=axis)
+
+
+def pow_const(a, e: int):
+    """a ** e for a Python-int exponent, square-and-multiply (host unrolled)."""
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    if result is None:
+        one = np.zeros((NLIMBS,) + a.shape[1:], np.uint32)
+        one[0] = 1
+        return jnp.asarray(one)
+    return result
+
+
+class FA:
+    """Thin operator-overloading wrapper so constraint ``Expr`` callables can
+    run unchanged over device limb arrays (prover) and host ``Fp`` scalars
+    (verifier).  Mirrors reference Expr = fn(&[F], &[F]) -> F
+    (src/constraint_system/constraints.rs:3-10).
+    """
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = a
+
+    def __add__(self, o):
+        return FA(add(self.a, _coerce(o, self.a)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return FA(sub(self.a, _coerce(o, self.a)))
+
+    def __rsub__(self, o):
+        return FA(sub(_coerce(o, self.a), self.a))
+
+    def __mul__(self, o):
+        return FA(mul(self.a, _coerce(o, self.a)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return FA(neg(self.a))
+
+
+def _coerce(o, like):
+    if isinstance(o, FA):
+        return o.a
+    from .limbs import pack_scalar
+
+    if isinstance(o, int) or hasattr(o, "v"):
+        return broadcast_scalar(pack_scalar(o), like.shape[1:])
+    return o
