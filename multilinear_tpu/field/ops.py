@@ -28,6 +28,9 @@ Reference semantics being reproduced: winterfell f128 canonical arithmetic
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -136,6 +139,7 @@ def _fold_ge8(t):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def add(a, b):
     """(a + b) mod p for canonical limb arrays."""
     al, bl = _split(a), _split(b)
@@ -148,6 +152,7 @@ def add(a, b):
     return _join(_canon_sub_p(t))
 
 
+@jax.jit
 def sub(a, b):
     """(a - b) mod p for canonical limb arrays."""
     al, bl = _split(a), _split(b)
@@ -160,6 +165,7 @@ def sub(a, b):
     return _join(out)
 
 
+@jax.jit
 def neg(a):
     """(-a) mod p."""
     al = _split(a)
@@ -176,6 +182,7 @@ def is_zero_mask(a):
     return m
 
 
+@jax.jit
 def mul(a, b):
     """(a * b) mod p.  The hot primitive: 64 lane muls + fixed fold chain."""
     al, bl = _split(a), _split(b)
@@ -225,6 +232,7 @@ def mul(a, b):
     return _join(_canon_sub_p(w))
 
 
+@partial(jax.jit, static_argnums=(1,))
 def mul_small(a, k: int):
     """(a * k) mod p for a small Python-int constant 0 <= k < 2^16."""
     if k == 0:
@@ -286,6 +294,7 @@ def normalize_wide(limbs32, extra_bits=16):
     return _join(_canon_sub_p(t))
 
 
+@partial(jax.jit, static_argnums=(1,))
 def sum_mod(a, axis=1):
     """Sum a canonical limb array over one value axis, mod p.
 
@@ -335,6 +344,7 @@ def broadcast_scalar(limbs8, shape):
     return jnp.broadcast_to(x.reshape((NLIMBS,) + (1,) * len(shape)), (NLIMBS,) + tuple(shape))
 
 
+@partial(jax.jit, static_argnums=(2,))
 def dot_mod(a, b, axis=1):
     """sum(a*b) mod p over one value axis."""
     return sum_mod(mul(a, b), axis=axis)

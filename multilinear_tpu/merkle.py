@@ -1,0 +1,213 @@
+"""SHA-256 Merkle commitments: device-hashed layers, host path logic.
+
+Capability parity with reference src/merkle_tree/mod.rs (commit,
+batch_commit, open, batch_open, verify, batch_verify; no leaf/node domain
+separation; Direction-encoded paths whose directions also re-derive the
+leaf index on verify), re-architected for TPU:
+
+* every tree level is hashed in one lane-parallel SHA-256 pass
+  (:mod:`multilinear_tpu.sha256`), leaves included - the reference hashes
+  sequentially per item;
+* the digest layers stay on device; opening queries gathers the needed
+  sibling columns for ALL queries at once, one small transfer per level;
+* path verification is host-side hashlib (it is O(queries * log n)).
+
+Leaf payloads here are field-element vectors: a leaf's message bytes are
+the concatenated 16-LE-byte encodings of its elements, exactly matching the
+reference's ``ReedSolomonPair`` / column byte views (src/fri/mod.rs:37-43).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .field.scalar import Fp
+from .sha256 import digests_to_bytes, limbs_to_words, sha256_words
+
+# Direction encoding, matching the reference enum (src/merkle_tree/mod.rs:13-18):
+# the direction tells where the SIBLING sits relative to the path node.
+RIGHT = 0  # current index even: sibling is the right child
+LEFT = 1  # current index odd:  sibling is the left child
+
+
+def _build_layers(leaf_digests):
+    """From (8, n) leaf digests, hash up to the root.  Returns all layers."""
+    layers = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[1] > 1:
+        pairs = cur.reshape(8, cur.shape[1] // 2, 2)
+        left, right = pairs[:, :, 0], pairs[:, :, 1]
+        msg = jnp.concatenate([left, right], axis=0)  # (16, n/2) words
+        cur = sha256_words(msg, 16)
+        layers.append(cur)
+    return layers
+
+
+class MerkleTree:
+    """Binary SHA-256 tree over a power-of-two number of leaves.
+
+    ``leaf_columns`` holds the committed payload as limb arrays of shape
+    (8, B, n) - B field elements per leaf, leaf index on the last axis.
+    """
+
+    def __init__(self, layers, leaf_columns):
+        self.layers = layers  # list of (8, n_i) digest word arrays, leaf level first
+        self.leaf_columns = leaf_columns  # (8, B, n) limb array
+        self._root_bytes = None
+
+    # -- commitment ---------------------------------------------------------
+    @staticmethod
+    def commit(leaf_columns) -> "MerkleTree":
+        """Commit to leaves whose payload is B field elements each.
+
+        leaf_columns: (8, B, n) limb array; leaf i's message is the
+        concatenation of the B elements' 16-LE-byte encodings (so B=2 gives
+        the FRI pair leaves; B=2*batch gives column-batched commitment,
+        reference src/merkle_tree/mod.rs:92-131).
+        """
+        _, B, n = leaf_columns.shape
+        assert n & (n - 1) == 0, "leaf count must be a power of two"
+        words = jnp.concatenate(
+            [limbs_to_words(leaf_columns[:, b, :]) for b in range(B)], axis=0
+        )  # (4B, n)
+        leaf_digests = sha256_words(words, 4 * B)
+        return MerkleTree(_build_layers(leaf_digests), leaf_columns)
+
+    # -- accessors -----------------------------------------------------------
+    @property
+    def num_leaves(self) -> int:
+        return self.layers[0].shape[1]
+
+    def root_bytes(self) -> bytes:
+        if self._root_bytes is None:
+            self._root_bytes = digests_to_bytes(np.asarray(self.layers[-1]))[0].tobytes()
+        return self._root_bytes
+
+    # -- opening -------------------------------------------------------------
+    def open_batch(self, indices: Sequence[int]) -> List["MerklePath"]:
+        """Open many indices at once: one device gather + transfer per level."""
+        idx = np.asarray(list(indices), dtype=np.int64)
+        nq = len(idx)
+        # leaf payloads for every query: (8, B, nq)
+        vals = np.asarray(self.leaf_columns[:, :, jnp.asarray(idx)])
+        B = vals.shape[1]
+        from .field.limbs import unpack_ints
+
+        ints = unpack_ints(vals)  # (B, nq) Python ints
+
+        sib_bytes_per_level = []
+        cur = idx.copy()
+        for layer in self.layers[:-1]:
+            sib = cur ^ 1
+            cols = np.asarray(jnp.take(layer, jnp.asarray(sib), axis=1))  # (8, nq)
+            sib_bytes_per_level.append(digests_to_bytes(cols))  # (nq, 32)
+            cur >>= 1
+
+        paths = []
+        for q in range(nq):
+            path = []
+            cur_i = int(idx[q])
+            for lvl, sb in enumerate(sib_bytes_per_level):
+                direction = RIGHT if cur_i % 2 == 0 else LEFT
+                path.append((sb[q].tobytes(), direction))
+                cur_i //= 2
+            leaf_vals = [Fp(int(ints[b, q])) for b in range(B)]
+            paths.append(MerklePath(leaf_vals, path))
+        return paths
+
+    def open(self, index: int) -> "MerklePath":
+        return self.open_batch([index])[0]
+
+
+@dataclass
+class MerklePath:
+    """Inclusion path: leaf payload + (sibling digest, direction) per level.
+
+    Matches reference MerkleInclusionPath (src/merkle_tree/mod.rs:20-24);
+    ``verify`` recomputes both the root and the index from the directions
+    (src/merkle_tree/mod.rs:216-246).
+    """
+
+    values: List[Fp]  # the leaf's field elements
+    path: List[Tuple[bytes, int]]  # (sibling digest bytes, LEFT/RIGHT)
+
+    def leaf_bytes(self) -> bytes:
+        return b"".join(v.to_bytes() for v in self.values)
+
+    def verify(self, root: bytes, index: int) -> bool:
+        h = hashlib.sha256(self.leaf_bytes()).digest()
+        computed_index = 0
+        for i, (sib, direction) in enumerate(self.path):
+            if direction == LEFT:
+                computed_index += 1 << i
+                h = hashlib.sha256(sib + h).digest()
+            else:
+                h = hashlib.sha256(h + sib).digest()
+        return h == root and computed_index == index
+
+
+# ---------------------------------------------------------------------------
+# host-side generic byte-leaf tree (small inputs, tests, arbitrary payloads)
+# ---------------------------------------------------------------------------
+
+
+class MerkleHost:
+    """Plain host Merkle over arbitrary byte-string leaves (hashlib).
+
+    Functional parity with reference Merkle::commit/open for non-field
+    payloads; the device tree above is the production path.
+    """
+
+    def __init__(self, data: List[bytes]):
+        n = len(data)
+        assert n & (n - 1) == 0 and n > 0, "leaf count must be a power of two"
+        self.data = list(data)
+        layers = [[hashlib.sha256(d).digest() for d in data]]
+        while len(layers[-1]) > 1:
+            prev = layers[-1]
+            layers.append(
+                [hashlib.sha256(prev[i] + prev[i + 1]).digest() for i in range(0, len(prev), 2)]
+            )
+        self.layers = layers
+
+    @staticmethod
+    def batch_commit(batches: List[List[bytes]]) -> "MerkleHost":
+        """Column-wise batched commit: leaf i = H(b_0[i] || b_1[i] || ...).
+
+        Reference: src/merkle_tree/mod.rs:92-131.
+        """
+        n = len(batches[0])
+        assert all(len(b) == n for b in batches), "all batches must have the same length"
+        joined = [b"".join(b[i] for b in batches) for i in range(n)]
+        t = MerkleHost(joined)
+        t.columns = [[b[i] for b in batches] for i in range(n)]
+        return t
+
+    def root(self) -> bytes:
+        return self.layers[-1][0]
+
+    def open(self, index: int):
+        path = []
+        cur = index
+        for layer in self.layers[:-1]:
+            sib = cur ^ 1
+            path.append((layer[sib], RIGHT if cur % 2 == 0 else LEFT))
+            cur //= 2
+        return self.data[index], path
+
+    @staticmethod
+    def verify(root: bytes, index: int, leaf: bytes, path) -> bool:
+        h = hashlib.sha256(leaf).digest()
+        computed_index = 0
+        for i, (sib, direction) in enumerate(path):
+            if direction == LEFT:
+                computed_index += 1 << i
+                h = hashlib.sha256(sib + h).digest()
+            else:
+                h = hashlib.sha256(h + sib).digest()
+        return h == root and computed_index == index
