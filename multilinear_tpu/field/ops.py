@@ -94,31 +94,12 @@ def _canon_sub_p(limbs):
 def _mul_k(hi):
     """Multiply a clean limb list (len L) by K (3 limbs); returns L+3 clean limbs.
 
-    Column accumulators stay < 3 * 2^16 < 2^18; combine carries once.
+    Column accumulators stay < 3 * 2^16 < 2^18; tree-merged like `mul`.
     """
     L = len(hi)
-    ncols = L + 3
-    lo_acc = [None] * ncols
-    hi_acc = [None] * ncols
-
-    def acc(store, k, v):
-        store[k] = v if store[k] is None else store[k] + v
-
-    for i in range(L):
-        for j in range(3):
-            p = hi[i] * _K[j]  # < 2^32, exact
-            acc(lo_acc, i + j, p & LIMB_MASK)
-            acc(hi_acc, i + j, p >> 16)
-    out = []
-    carry = jnp.uint32(0)
-    for k in range(ncols):
-        v = carry
-        if lo_acc[k] is not None:
-            v = v + lo_acc[k]
-        if k > 0 and hi_acc[k - 1] is not None:
-            v = v + hi_acc[k - 1]
-        out.append(v & LIMB_MASK)
-        carry = v >> 16
+    k_arrs = [jnp.broadcast_to(k, hi[0].shape) for k in _K]
+    cols = _wide_mul_cols(hi, k_arrs)  # L+3 columns
+    out, carry = _carry_normalize(cols, L + 3)
     # K*hi < 2^46 * 2^(16L) fits in L+3 limbs; final carry provably 0.
     return out
 
@@ -182,37 +163,87 @@ def is_zero_mask(a):
     return m
 
 
+# ---------------------------------------------------------------------------
+# tree-structured schoolbook product
+#
+# The straightforward 64-term accumulation emits ~600 HLO ops per mul and
+# XLA compile time scales with graph size - with a mul inside every kernel
+# that was the build's bottleneck, not runtime.  This formulation computes
+# the same column sums c_k = sum_{i+j=k} a_i*b_j with O(log) tensor-level
+# ops: one outer product, then a binary tree of pad-and-add merges along
+# the limb axis (merging two row groups offset by 2^level), then one short
+# carry chain.  ~3x smaller graphs, identical results.
+# ---------------------------------------------------------------------------
+
+
+def _antidiagonal_sums(o):
+    """o: (R, C)+S array of row vectors; returns (R+C-1,)+S anti-diagonal sums
+    c_k = sum_i o[i, k-i], via a pad-and-add halving tree."""
+    R = o.shape[0]
+    C = o.shape[1]
+    rows = o
+    width = C
+    count = R
+    # invariant: rows[g] holds the partial sum of original rows in group g,
+    # already aligned so that column c of group g maps to output k = g*stride + c.
+    stride = 1
+    while count > 1:
+        if count % 2 == 1:
+            pad = [(0, 1)] + [(0, 0)] * (rows.ndim - 1)
+            rows = jnp.pad(rows, pad)
+            count += 1
+        even = rows[0::2]
+        odd = rows[1::2]
+        # group 2g+1 is offset by `stride` columns relative to group 2g
+        pad_e = [(0, 0), (0, stride)] + [(0, 0)] * (rows.ndim - 2)
+        pad_o = [(0, 0), (stride, 0)] + [(0, 0)] * (rows.ndim - 2)
+        rows = jnp.pad(even, pad_e) + jnp.pad(odd, pad_o)
+        width += stride
+        stride *= 2
+        count //= 2
+    return rows[0]
+
+
+def _carry_normalize(cols, out_len):
+    """cols: list/array of uint32 column sums (< 2^31); returns out_len clean
+    limbs via one sequential carry chain."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    n = len(cols)
+    for k in range(out_len):
+        v = carry + (cols[k] if k < n else 0)
+        out.append(v & LIMB_MASK)
+        carry = v >> 16
+    return out, carry
+
+
+def _wide_mul_cols(al, bl):
+    """Column sums of the 2^16-radix product of two clean limb lists.
+
+    Returns a list of len(a)+len(b)-1+1 uint32 arrays, each < 2^21.
+    """
+    a = jnp.stack(al, axis=0)
+    b = jnp.stack(bl, axis=0)
+    o = a[:, None] * b[None, :]  # (La, Lb)+S, 16x16 -> 32 exact
+    lo = o & LIMB_MASK
+    hi = o >> 16
+    c_lo = _antidiagonal_sums(lo)  # (La+Lb-1,)+S, each < min(La,Lb)*2^16
+    c_hi = _antidiagonal_sums(hi)
+    ncols = c_lo.shape[0] + 1
+    # t_k = c_lo[k] + c_hi[k-1]  (the hi halves weigh one limb more)
+    zero = jnp.zeros_like(c_lo[0])
+    cols = [c_lo[0]] + [
+        (c_lo[k] if k < c_lo.shape[0] else zero) + c_hi[k - 1] for k in range(1, ncols)
+    ]
+    return cols
+
+
 @jax.jit
 def mul(a, b):
-    """(a * b) mod p.  The hot primitive: 64 lane muls + fixed fold chain."""
+    """(a * b) mod p.  The hot primitive."""
     al, bl = _split(a), _split(b)
-
-    # --- full 256-bit schoolbook product, split-accumulated ---------------
-    ncols = 2 * NLIMBS
-    lo_acc = [None] * ncols
-    hi_acc = [None] * ncols
-
-    def acc(store, k, v):
-        store[k] = v if store[k] is None else store[k] + v
-
-    for i in range(NLIMBS):
-        ai = al[i]
-        for j in range(NLIMBS):
-            p = ai * bl[j]  # 16x16 -> 32, exact
-            acc(lo_acc, i + j, p & LIMB_MASK)
-            acc(hi_acc, i + j, p >> 16)
-    # column sums < 8 * 2^16 = 2^19; combine with carries (carry < 2^5).
-    t = []
-    carry = jnp.uint32(0)
-    for k in range(ncols):
-        v = carry
-        if lo_acc[k] is not None:
-            v = v + lo_acc[k]
-        if k > 0 and hi_acc[k - 1] is not None:
-            v = v + hi_acc[k - 1]
-        t.append(v & LIMB_MASK)
-        carry = v >> 16
-    # product < 2^256: final carry provably 0.
+    cols = _wide_mul_cols(al, bl)  # 16 columns, each < 2^20
+    t, cy = _carry_normalize(cols, 16)  # product < 2^256: carry provably 0
 
     # --- sparse-modulus reduction, three bounded folds --------------------
     # t (16 limbs) -> y = t_lo + K*t_hi            < 2^128 + 2^174 : 11 limbs
@@ -220,7 +251,7 @@ def mul(a, b):
     del cy
     # y (11 limbs) -> z = y_lo + K*y_hi            < 2^128 + 2^94  : 9 limbs
     z, cz = _fold_ge8(y[:11])
-    z = z + [cz]  # len(z)==8 from max(8, 3+3)=8? no: len = max(8, len(kh)); see below
+    z = z + [cz]
     # NOTE: len(y[8:]) == 3 -> kh len 6 -> sum len 8 with a real carry bit cz
     # (z < 2^129, top in {0,1}).
     # z (9 limbs) -> w = z_lo + K*z[8].  If z[8]==1 then z_lo < 2^94 so no

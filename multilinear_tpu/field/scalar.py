@@ -44,19 +44,25 @@ class Fp:
         self.v = v % P
 
     # -- ring ops ---------------------------------------------------------
+    # Non-coercible operands return NotImplemented so reflected operations
+    # on other wrappers (e.g. the device-array FA) get a chance.
     def __add__(self, o):
-        return Fp((self.v + _val(o)) % P)
+        v = _val_or_none(o)
+        return NotImplemented if v is None else Fp((self.v + v) % P)
 
     __radd__ = __add__
 
     def __sub__(self, o):
-        return Fp((self.v - _val(o)) % P)
+        v = _val_or_none(o)
+        return NotImplemented if v is None else Fp((self.v - v) % P)
 
     def __rsub__(self, o):
-        return Fp((_val(o) - self.v) % P)
+        v = _val_or_none(o)
+        return NotImplemented if v is None else Fp((v - self.v) % P)
 
     def __mul__(self, o):
-        return Fp((self.v * _val(o)) % P)
+        v = _val_or_none(o)
+        return NotImplemented if v is None else Fp((self.v * v) % P)
 
     __rmul__ = __mul__
 
@@ -110,12 +116,19 @@ ONE = Fp(1)
 TWO_INV = Fp(2).inv()
 
 
-def _val(o) -> int:
+def _val_or_none(o):
     if isinstance(o, Fp):
         return o.v
     if isinstance(o, int):
         return o % P if o >= 0 else Fp(o).v
-    raise TypeError(f"cannot coerce {type(o)} to Fp")
+    return None
+
+
+def _val(o) -> int:
+    v = _val_or_none(o)
+    if v is None:
+        raise TypeError(f"cannot coerce {type(o)} to Fp")
+    return v
 
 
 def pow2_generator(log_size: int) -> Fp:

@@ -1,0 +1,336 @@
+"""FRI low-degree test: device fold + lane-parallel Merkle, host queries.
+
+Protocol parity with reference src/fri/mod.rs: pair leaves
+(value = p(g^i), minus_value = p(-g^i) = p(g^{i+n/2})), the fold
+next(x^2) = ((p(x)+p(-x)) + r*(p(x)-p(-x))*g^{-i*2^k}) / 2, one Merkle root
+absorbed per layer, 128 transcript-drawn query indices with 8-LE-byte
+absorption (quirk Q5), and the redundant ``last_random`` transcript
+fingerprint checked at the end.
+
+TPU-first architecture: every fold step is ONE fused elementwise pass over
+the codeword (split halves, twiddle multiply from a strided slice of the
+inverse power table, linear combine); every Merkle layer hashes in one
+lane-parallel SHA-256 pass.  The reference walks elements one at a time
+(src/fri/mod.rs:96-114).  Queries gather all 128 sibling columns per level
+in a single device gather (merkle.MerkleTree.open_batch).  Only Merkle
+roots (32 bytes/round) and challenges (16 bytes/round) cross the
+host<->device boundary during folding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field import limbs, ops
+from .field.scalar import Fp, P, TWO_INV, pow2_generator
+from .merkle import FieldHostTree, MerklePath, MerkleTree
+from .ntt import LOG_BLOWUP, inv_gen_pows, reed_solomon
+from .transcript import Transcript
+
+NUM_QUERIES = 128  # reference src/fri/mod.rs:17
+
+# Codewords at or below this length fold and hash on the host: the tail
+# layers are tiny and a per-layer device round-trip + per-shape compile
+# costs more than a few thousand host multiplies/hashes.
+HOST_THRESHOLD = 1 << 12
+
+
+class FriError(Exception):
+    pass
+
+
+@jax.jit
+def _fold_codeword(code, twiddles, r_limbs, half_limbs):
+    """One FRI fold: code (8, m) -> (8, m/2).
+
+    next[i] = ((a+b) + r * (a-b) * tw[i]) * 1/2 with a = code[i],
+    b = code[i + m/2], tw[i] = g^{-i*2^k} (strided inverse power table).
+    """
+    m = code.shape[-1]
+    half = m // 2
+    a, b = code[..., :half], code[..., half:]
+    even = ops.add(a, b)
+    odd = ops.mul(ops.sub(a, b), twiddles)
+    rb = ops.broadcast_scalar(r_limbs, odd.shape[1:])
+    hb = ops.broadcast_scalar(half_limbs, odd.shape[1:])
+    return ops.mul(ops.add(even, ops.mul(rb, odd)), hb)
+
+
+def _commit_code(code) -> MerkleTree:
+    """Merkle-commit a codeword as (value, minus_value) pair leaves
+    (reference commit_rs_code, src/fri/mod.rs:46-56)."""
+    half = code.shape[-1] // 2
+    pairs = jnp.stack([code[..., :half], code[..., half:]], axis=1)  # (8, 2, half)
+    return MerkleTree.commit(pairs)
+
+
+def _host_commit_code(code_ints: List[int]) -> FieldHostTree:
+    half = len(code_ints) // 2
+    return FieldHostTree(
+        [[Fp(v) for v in code_ints[:half]], [Fp(v) for v in code_ints[half:]]]
+    )
+
+
+class FriProverData:
+    """Prover state: one codeword + Merkle tree per fold layer.
+
+    The codeword lives on device while large (fused fold kernel +
+    lane-parallel hashing) and moves to host exact ints once it shrinks
+    below HOST_THRESHOLD.
+    """
+
+    def __init__(self):
+        self.trees: List = []  # MerkleTree (device) or FieldHostTree
+        self.last_element: Optional[Fp] = None
+        self._log_domain: int = 0
+        self._current = None  # device (8, m) array
+        self._current_host: Optional[List[int]] = None
+
+    def _maybe_to_host(self) -> None:
+        if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD:
+            self._current_host = [int(v) for v in limbs.unpack_ints(np.asarray(self._current))]
+            self._current = None
+
+    @staticmethod
+    def init(code, transcript: Transcript) -> "FriProverData":
+        """Commit to the initial codeword and absorb the root."""
+        n = code.shape[-1]
+        assert n & (n - 1) == 0, "input size must be a power of two"
+        data = FriProverData()
+        data._log_domain = n.bit_length() - 1
+        data._current = code
+        data._maybe_to_host()
+        if data._current_host is not None:
+            tree = _host_commit_code(data._current_host)
+        else:
+            tree = _commit_code(code)
+        data.trees.append(tree)
+        transcript.absorb(tree.root_bytes())
+        return data
+
+    def _fold_host(self, k: int, r: Fp) -> List[int]:
+        cur = self._current_host
+        half = len(cur) // 2
+        inv_gen = pow2_generator(self._log_domain).inv().v
+        step = pow(inv_gen, 1 << k, P)
+        inv2 = TWO_INV.v
+        rv = r.v
+        out = []
+        tw = 1
+        for i in range(half):
+            a, b = cur[i], cur[i + half]
+            out.append(((a + b) + rv * ((a - b) * tw % P)) % P * inv2 % P)
+            tw = tw * step % P
+        return out
+
+    def fold_step(self, k: int, r: Fp, transcript: Transcript) -> None:
+        """Fold the current codeword with challenge r; commit or finish.
+
+        Reference fold_step (src/fri/mod.rs:79-134); the tail-indexed
+        inverse twiddle gen_pows[len - i*2^k] equals inv_gen^(i*2^k), read
+        here as a strided slice of the inverse power table.
+        """
+        blowup = 1 << LOG_BLOWUP
+        if self._current_host is not None:
+            m = len(self._current_host)
+            if m <= blowup:
+                return
+            nxt_host = self._fold_host(k, r)
+            self._current_host = nxt_host
+            half = m // 2
+            if half == blowup:
+                first = Fp(nxt_host[0])
+                if not all(v == first.v for v in nxt_host):
+                    raise FriError("not an RS code")
+                self.last_element = first
+                transcript.absorb(first.to_bytes())
+                return
+            tree = _host_commit_code(nxt_host)
+            self.trees.append(tree)
+            transcript.absorb(tree.root_bytes())
+            return
+
+        code = self._current
+        m = code.shape[-1]
+        if m <= blowup:
+            return
+        half = m // 2
+        inv_pows = inv_gen_pows(self._log_domain)  # (8, 2^log_domain)
+        tw = inv_pows[:, :: 1 << k][:, :half]
+        nxt = _fold_codeword(
+            code,
+            tw,
+            jnp.asarray(limbs.pack_scalar(r)),
+            jnp.asarray(limbs.pack_scalar(TWO_INV)),
+        )
+        self._current = nxt
+        self._maybe_to_host()
+        if half == blowup:
+            vals = limbs.unpack_ints(np.asarray(nxt)) if self._current_host is None else self._current_host
+            first = Fp(int(vals[0]))
+            if not all(int(v) == first.v for v in vals):
+                raise FriError("not an RS code")
+            self.last_element = first
+            transcript.absorb(first.to_bytes())
+            return
+        if self._current_host is not None:
+            tree = _host_commit_code(self._current_host)
+        else:
+            tree = _commit_code(nxt)
+        self.trees.append(tree)
+        transcript.absorb(tree.root_bytes())
+
+    @staticmethod
+    def fold(code, transcript: Transcript) -> "FriProverData":
+        """init + all fold rounds, drawing one challenge per round
+        (reference src/fri/mod.rs:136-145)."""
+        data = FriProverData.init(code, transcript)
+        num_steps = code.shape[-1].bit_length() - 1 - LOG_BLOWUP
+        for k in range(num_steps):
+            r = transcript.next_challenge()
+            data.fold_step(k, r, transcript)
+        assert data.last_element is not None
+        return data
+
+    def fold_roots(self) -> List[bytes]:
+        return [t.root_bytes() for t in self.trees]
+
+    def open_queries(self, indices: Sequence[int]) -> List["QueryProof"]:
+        """Open many query indices at once: one batched gather per layer.
+
+        Per-query index halves each layer (reference open_query_at,
+        src/fri/mod.rs:154-174: current_index %= current_n after halving).
+        """
+        per_layer_paths = []
+        cur = list(indices)
+        cur_n = self.trees[0].num_leaves
+        for tree in self.trees:
+            per_layer_paths.append(tree.open_batch(cur))
+            cur_n //= 2
+            cur = [c % cur_n for c in cur]
+        return [
+            QueryProof([per_layer_paths[l][q] for l in range(len(self.trees))])
+            for q in range(len(indices))
+        ]
+
+    def open_query_at(self, index: int) -> "QueryProof":
+        return self.open_queries([index])[0]
+
+
+@dataclass
+class QueryProof:
+    """One Merkle pair-path per fold layer (reference QueryProof)."""
+
+    paths: List[MerklePath]
+
+    def verify(
+        self,
+        commitments: Sequence[bytes],
+        last_element: Fp,
+        n: int,
+        index: int,
+        gen: Fp,
+        random_elements: Sequence[Fp],
+    ) -> None:
+        """Walk the layers recomputing the fold (reference src/fri/mod.rs:183-237).
+
+        ``n`` is the pair count of layer 0 (codeword/2); ``gen`` the full-
+        domain generator.  Raises FriError on mismatch.
+        """
+        if len(self.paths) != len(commitments):
+            raise FriError("wrong number of paths")
+        current_n = n
+        current_index = index
+        current_gen = gen
+        for i, (path, root) in enumerate(zip(self.paths, commitments)):
+            if not path.verify(root, current_index):
+                raise FriError(f"inclusion path failed at layer {i}")
+            value, minus_value = path.values[0], path.values[1]
+            gen_pow = current_gen ** current_index
+            even = (value + minus_value) * TWO_INV
+            odd = (value - minus_value) / (Fp(2) * gen_pow)
+            folded = even + random_elements[i] * odd
+            if i == len(self.paths) - 1:
+                if last_element != folded:
+                    raise FriError(f"query mismatch at last layer {i}")
+                break
+            next_index = current_index % (current_n // 2)
+            next_path = self.paths[i + 1]
+            next_value = (
+                next_path.values[0] if next_index == current_index else next_path.values[1]
+            )
+            if next_value != folded:
+                raise FriError(f"query mismatch at layer {i}")
+            current_gen = current_gen * current_gen
+            current_n //= 2
+            current_index = next_index
+
+
+@dataclass
+class FriProof:
+    """commitments + queries + final constant + transcript fingerprint
+    (reference FriProof, src/fri/mod.rs:240-248)."""
+
+    commitments: List[bytes]
+    queries: List[QueryProof]
+    last_elem: Fp
+    last_random: bytes
+
+    @staticmethod
+    def prove(code, transcript: Transcript) -> "FriProof":
+        """Fold + 128 transcript-drawn queries (reference src/fri/mod.rs:261-285)."""
+        domain_size = code.shape[-1]
+        data = FriProverData.fold(code, transcript)
+        indices = []
+        for _ in range(NUM_QUERIES):
+            idx = transcript.random_index(domain_size // 2)
+            indices.append(idx)
+            transcript.absorb_index(idx)
+        queries = data.open_queries(indices)
+        return FriProof(
+            commitments=data.fold_roots(),
+            queries=queries,
+            last_elem=data.last_element,
+            last_random=transcript.random(),
+        )
+
+    def verify(self) -> None:
+        """Standalone verification with a fresh transcript
+        (reference src/fri/mod.rs:311-340)."""
+        if len(self.queries) != NUM_QUERIES:
+            raise FriError("wrong number of queries")
+        transcript = Transcript()
+        random_elements = []
+        for root in self.commitments:
+            transcript.absorb(root)
+            random_elements.append(transcript.next_challenge())
+        transcript.absorb(self.last_elem.to_bytes())
+        self.verify_queries(transcript, random_elements)
+
+    def verify_queries(self, transcript: Transcript, random_elements: Sequence[Fp]) -> None:
+        log_domain_size = len(self.commitments) + LOG_BLOWUP
+        domain_size = 1 << log_domain_size
+        gen = pow2_generator(log_domain_size)
+        n = domain_size // 2
+        for query in self.queries:
+            idx = transcript.random_index(n)
+            transcript.absorb_index(idx)
+            query.verify(self.commitments, self.last_elem, n, idx, gen, random_elements)
+        if self.last_random != transcript.random():
+            raise FriError("incompatible last_random transcript fingerprint")
+
+
+def encode_mle_for_fri(evals):
+    """eval form -> bit-reversed coefficient form -> RS codeword.
+
+    The bit-reversal aligns FRI's even/odd low-bit split with sumcheck's
+    MSB top/bottom-half fold (reference multilinear_pcs.rs:101-107, Q8).
+    """
+    from .mle import bit_reverse, to_coeffs
+
+    return reed_solomon(bit_reverse(to_coeffs(evals)))

@@ -151,6 +151,55 @@ class MerklePath:
         return h == root and computed_index == index
 
 
+class FieldHostTree:
+    """Host (hashlib) tree over field-element column leaves.
+
+    Same API as :class:`MerkleTree` (root_bytes / num_leaves / open_batch /
+    open) so protocol drivers can switch to the host path once folded
+    arrays are small - the tail layers of FRI are tiny and a device
+    round-trip per layer costs more than hashing a few thousand leaves on
+    the host.
+    """
+
+    def __init__(self, columns: List[List[Fp]]):
+        """columns: B lists of n field elements; leaf i = H(col_0[i] || ...)."""
+        n = len(columns[0])
+        assert n & (n - 1) == 0 and n > 0, "leaf count must be a power of two"
+        assert all(len(c) == n for c in columns)
+        self.columns = columns
+        leaves = [
+            hashlib.sha256(b"".join(c[i].to_bytes() for c in columns)).digest()
+            for i in range(n)
+        ]
+        layers = [leaves]
+        while len(layers[-1]) > 1:
+            prev = layers[-1]
+            layers.append(
+                [hashlib.sha256(prev[i] + prev[i + 1]).digest() for i in range(0, len(prev), 2)]
+            )
+        self.layers = layers
+
+    @property
+    def num_leaves(self) -> int:
+        return len(self.layers[0])
+
+    def root_bytes(self) -> bytes:
+        return self.layers[-1][0]
+
+    def open_batch(self, indices: Sequence[int]) -> List["MerklePath"]:
+        return [self.open(i) for i in indices]
+
+    def open(self, index: int) -> "MerklePath":
+        path = []
+        cur = index
+        for layer in self.layers[:-1]:
+            sib = cur ^ 1
+            path.append((layer[sib], RIGHT if cur % 2 == 0 else LEFT))
+            cur //= 2
+        values = [c[index] for c in self.columns]
+        return MerklePath(values, path)
+
+
 # ---------------------------------------------------------------------------
 # host-side generic byte-leaf tree (small inputs, tests, arbitrary payloads)
 # ---------------------------------------------------------------------------

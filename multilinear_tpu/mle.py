@@ -75,19 +75,49 @@ def to_coeffs(evals):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _delta_table_impl(points, one_minus, n_vars):
-    """points, one_minus: (8, n_vars).  Returns (8, 2^n_vars) with
-    out[i] = prod_j (bit_j(i) ? points[j] : 1 - points[j]), big-endian:
-    j = 0 is the MSB of i.
+# Tensor-product tables are built hybrid: exact host bigint arithmetic for
+# sub-tables of <= _CHUNK_VARS variables (a few hundred multiplies), then
+# O(1) big device `mul` passes to kron them together.  This keeps the
+# traced graph at ~ceil(n/8) multiplies regardless of n (a naive doubling
+# loop puts 2n muls in the graph and XLA compile time explodes), while all
+# O(2^n) arithmetic still happens on device.
+_CHUNK_VARS = 8
+
+
+@jax.jit
+def _kron_mul(a, b):
+    """Tensor-product combine: (8, m), (8, n) -> (8, m*n), out[i*n+j] = a[i]*b[j]."""
+    m, n = a.shape[1], b.shape[1]
+    aa = jnp.broadcast_to(a[:, :, None], (8, m, n))
+    bb = jnp.broadcast_to(b[:, None, :], (8, m, n))
+    return ops.mul(aa, bb).reshape(8, m * n)
+
+
+def _host_factor_table(factors):
+    """Product table of per-variable (f0_j, f1_j) factor pairs, big-endian.
+
+    factors: list of (f0, f1) int pairs; out[i] = prod_j f_{bit_j}(j) where
+    points earlier in the list pair with more significant index bits.
     """
-    d = jnp.zeros((8, 1), dtype=jnp.uint32).at[0, 0].set(1)
-    for j in range(n_vars):
-        pt = points[:, j : j + 1]
-        om = one_minus[:, j : j + 1]
-        lo = ops.mul(d, jnp.broadcast_to(om, d.shape))
-        hi = ops.mul(d, jnp.broadcast_to(pt, d.shape))
-        d = jnp.stack([lo, hi], axis=-1).reshape(8, -1)
+    from .field.scalar import P
+
+    table = [1]
+    for f0, f1 in factors:
+        table = [v * f % P for v in table for f in (f0, f1)]
+    return table
+
+
+def _product_table(factors):
+    """Device (8, 2^n) table from per-variable factor pairs (host ints)."""
+    n_vars = len(factors)
+    chunks = [factors[i : i + _CHUNK_VARS] for i in range(0, n_vars, _CHUNK_VARS)]
+    sub = [
+        jnp.asarray(limbs.pack_ints(_host_factor_table(c)))
+        for c in chunks
+    ]
+    d = sub[0]
+    for s in sub[1:]:
+        d = _kron_mul(d, s)
     return d
 
 
@@ -99,42 +129,37 @@ def delta_table(points):
     (src/constraint_system/evaluation.rs:62-70).
     """
     pts = [Fp(p) for p in points]
-    n_vars = len(pts)
-    if n_vars == 0:
+    if not pts:
         return jnp.zeros((8, 1), dtype=jnp.uint32).at[0, 0].set(1)
-    p_arr = jnp.asarray(limbs.pack_ints([p.v for p in pts]))
-    om_arr = jnp.asarray(limbs.pack_ints([(ONE - p).v for p in pts]))
-    return _delta_table_impl(p_arr, om_arr, n_vars)
+    return _product_table([((ONE - p).v, p.v) for p in pts])
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _weight_table_impl(points, n_vars):
+def _weight_table(points):
     """Monomial weights: out[i] = prod_{bit_j(i)=1} points[j] (big-endian)."""
-    d = jnp.zeros((8, 1), dtype=jnp.uint32).at[0, 0].set(1)
-    for j in range(n_vars):
-        pt = points[:, j : j + 1]
-        hi = ops.mul(d, jnp.broadcast_to(pt, d.shape))
-        d = jnp.stack([d, hi], axis=-1).reshape(8, -1)
-    return d
+    pts = [Fp(p) for p in points]
+    if not pts:
+        return jnp.zeros((8, 1), dtype=jnp.uint32).at[0, 0].set(1)
+    return _product_table([(1, p.v) for p in pts])
 
 
 def evaluate_evals(evals, points):
     """Evaluate an MLE in evaluation form at an arbitrary point (device).
 
+    ``evals``: (8, ..., 2^n) limb array; reduces the LAST axis, so a batch
+    of B MLEs (8, B, 2^n) evaluates in one pass.
     Semantics of reference src/polynomials.rs:165-188.
     """
     d = delta_table(points)
-    return ops.dot_mod(d, evals, axis=1)
+    d = d.reshape((8,) + (1,) * (evals.ndim - 2) + (evals.shape[-1],))
+    return ops.dot_mod(jnp.broadcast_to(d, evals.shape), evals, axis=evals.ndim - 1)
 
 
 def evaluate_coeffs(coeffs, points):
     """Evaluate coefficient form at a point (reference src/polynomials.rs:126-147)."""
     pts = [Fp(p) for p in points]
-    n_vars = len(pts)
-    if n_vars == 0:
+    if not pts:
         return coeffs[:, 0]
-    p_arr = jnp.asarray(limbs.pack_ints([p.v for p in pts]))
-    w = _weight_table_impl(p_arr, n_vars)
+    w = _weight_table(pts)
     return ops.dot_mod(w, coeffs, axis=1)
 
 

@@ -1,15 +1,20 @@
-"""Radix-2 NTT / iNTT over GF(p) as staged, fully-vectorized device passes.
+"""Radix-2 NTT / iNTT over GF(p) as a lax.scan of vectorized butterflies.
 
 p has two-adicity 40 with multiplicative generator 3 (reference constants:
 src/ntt/mod.rs:34-54); the 2^k-domain generator is 3^((p-1)/2^k).
 
 TPU-first design: instead of the reference's nested per-block scalar loops
-(src/ntt/mod.rs:81-107), every Cooley-Tukey stage here is ONE elementwise
-pass over the whole array - a reshape exposing the butterfly pairing, a
-broadcast twiddle multiply, and an add/sub.  Input is bit-reversed once via
-a gather.  Twiddle tables are powers of the domain generator built on device
-by log-doubling (O(log n) multiplies of geometrically growing arrays), then
-strided-sliced per stage; they are cached per domain size.
+(src/ntt/mod.rs:81-107), every Cooley-Tukey stage is ONE elementwise pass
+over the whole array, and the stages run under ``lax.scan`` with a shape-
+invariant body (XOR-gather the butterfly partner, gather the twiddle from
+the power table, one field mul, add/sub/select).  The scan keeps the traced
+graph a CONSTANT size regardless of n - compile once, run any stage count -
+which matters because XLA compile time scales with graph size and the limb
+arithmetic expands ~200 HLO ops per field multiply.
+
+Twiddle tables are powers of the domain generator, built as a tensor
+product of host-computed 256-entry sub-tables combined by O(1) device
+multiplies (see mle._product_table); they are cached per domain size.
 
 Output matches the reference exactly: ``ntt(coeffs)[i] = p(g^i)`` in natural
 order, ``intt`` inverts with the 1/n scale (src/ntt/mod.rs:131-174).
@@ -24,24 +29,29 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .field import limbs, ops
 from .field.scalar import Fp, P, pow2_generator
-from .mle import bit_reverse
+from .mle import _product_table, bit_reverse
 
 LOG_BLOWUP = 1  # Reed-Solomon rate 1/2 (reference src/fri/mod.rs:16)
 
 
 @lru_cache(maxsize=48)
 def _pow_table(gen_v: int, log_size: int):
-    """Device array (8, 2^log_size) of [1, g, g^2, ...] built by log-doubling."""
-    pows = jnp.zeros((8, 1), dtype=jnp.uint32).at[0, 0].set(1)
-    step = Fp(gen_v)
-    for _ in range(log_size):
-        s = ops.broadcast_scalar(limbs.pack_scalar(step), pows.shape[1:])
-        pows = jnp.concatenate([pows, ops.mul(pows, s)], axis=1)
-        step = step * step
-    return pows
+    """Device array (8, 2^log_size) of [1, g, g^2, ...].
+
+    g^i = prod_{bit j of i} g^(2^j): a tensor-product table whose per-bit
+    factors (1, g^(2^j)) are host scalars - big-endian, so factor order is
+    reversed (bit log_size-1 first).
+    """
+    if log_size == 0:
+        return jnp.asarray(limbs.pack_ints([1]))
+    factors = [
+        (1, pow(gen_v, 1 << j, P)) for j in range(log_size - 1, -1, -1)
+    ]
+    return _product_table(factors)
 
 
 def gen_pows(log_size: int):
@@ -56,23 +66,36 @@ def inv_gen_pows(log_size: int):
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _ntt_stages(x, pows, log_n):
-    """All butterfly stages after bit-reversal.  x: (8, ..., n); pows: (8, n)."""
+def _ntt_stages(x, pows, log_n: int):
+    """All butterfly stages after bit-reversal.  x: (8, ..., n); pows: (8, n).
+
+    Stage s pairs index i with i ^ 2^(s-1); the hi element is multiplied by
+    g^((i mod 2^(s-1)) * n/2^s).  The scan body is shape-invariant.
+    """
     n = 1 << log_n
-    lead = x.shape[1:-1]
-    for s in range(1, log_n + 1):
-        length = 1 << s
-        half = length >> 1
-        # twiddles for this stage: g^(n/length * j), j in [0, half)
-        tw = pows[:, :: n >> s][:, :half]  # (8, half)
-        v = x.reshape((8,) + lead + (n // length, 2, half))
-        u = v[..., 0, :]
-        w = v[..., 1, :]
-        if s > 1:
-            twb = tw.reshape((8,) + (1,) * (len(lead) + 1) + (half,))
-            w = ops.mul(w, jnp.broadcast_to(twb, w.shape))
-        x = jnp.concatenate([ops.add(u, w), ops.sub(u, w)], axis=-1)
-        x = x.reshape((8,) + lead + (n,))
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    hs = jnp.asarray([1 << (s - 1) for s in range(1, log_n + 1)], dtype=jnp.int32)
+    shifts = jnp.asarray([n >> s for s in range(1, log_n + 1)], dtype=jnp.int32)
+
+    def body(x, inputs):
+        h, shift = inputs
+        is_hi = (iota & h) != 0
+        lo_idx = iota & ~h
+        hi_idx = iota | h
+        j = iota & (h - 1)
+        tw_exp = j * shift
+        tw = jnp.take(pows, tw_exp, axis=-1)  # (8, n) broadcast over leads
+        x_lo = jnp.take(x, lo_idx, axis=-1)
+        x_hi = jnp.take(x, hi_idx, axis=-1)
+        if x.ndim > 2:
+            tw = tw.reshape((8,) + (1,) * (x.ndim - 2) + (n,))
+            tw = jnp.broadcast_to(tw, x.shape)
+        t = ops.mul(tw, x_hi)
+        out = jnp.where(is_hi, ops.sub(x_lo, t), ops.add(x_lo, t))
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, (hs, shifts))
     return x
 
 
@@ -87,9 +110,9 @@ def ntt(coeffs, pows=None):
     return _ntt_stages(x, pows, log_n)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _intt_scale(x, n_inv, log_n):
-    s = ops.broadcast_scalar(n_inv, x.shape[1:])
+@jax.jit
+def _scale(x, s_limbs):
+    s = ops.broadcast_scalar(s_limbs, x.shape[1:])
     return ops.mul(x, s)
 
 
@@ -103,7 +126,7 @@ def intt(evals, inv_pows=None):
     x = bit_reverse(evals)
     x = _ntt_stages(x, inv_pows, log_n)
     n_inv = limbs.pack_scalar(Fp(n).inv())
-    return _intt_scale(x, jnp.asarray(n_inv), log_n)
+    return _scale(x, jnp.asarray(n_inv))
 
 
 def reed_solomon(coeffs, log_blowup: int = LOG_BLOWUP):

@@ -48,24 +48,41 @@ def _rotr(x, r):
 
 
 def _compress(state, w):
-    """One SHA-256 compression.  state: list of 8 arrays; w: list of 16 arrays."""
-    w = list(w)
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
+    """One SHA-256 compression via lax.scan over the 64 rounds.
 
-    a, b, c, d, e, f, g, h = state
-    for t in range(64):
+    state: list of 8 arrays; w: list of 16 message-word arrays.  The scan
+    keeps the traced graph constant-size (~25 ops) instead of unrolling
+    64 rounds - XLA compile time on the limb/word kernels is the build's
+    scarce resource, not runtime.  The message schedule is carried as a
+    sliding 16-word window.
+    """
+    window = jnp.stack(w, axis=0)  # (16,) + S
+    st = jnp.stack(state, axis=0)  # (8,) + S
+    k_table = jnp.asarray(_K)  # (64,)
+    ts = jnp.arange(64, dtype=jnp.int32)
+
+    def body(carry, t):
+        st, window = carry
+        # schedule: for t >= 16 compute from the window, else window[0] is w_t
+        w0, w1, w9, w14 = window[0], window[1], window[9], window[14]
+        s0 = _rotr(w1, 7) ^ _rotr(w1, 18) ^ (w1 >> 3)
+        s1 = _rotr(w14, 17) ^ _rotr(w14, 19) ^ (w14 >> 10)
+        w_next = w0 + s0 + w9 + s1  # becomes w_{t+16}
+        w_t = window[0]
+
+        a, b, c, d, e, f, g, h = (st[i] for i in range(8))
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(int(_K[t])) + w[t]
+        t1 = h + S1 + ch + k_table[t] + w_t
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = [a, b, c, d, e, f, g, h]
-    return [s + o for s, o in zip(state, out)]
+        new_st = jnp.stack([t1 + t2, a, b, c, d + t1, e, f, g], axis=0)
+        new_window = jnp.concatenate([window[1:], w_next[None]], axis=0)
+        return (new_st, new_window), None
+
+    (st, _), _ = jax.lax.scan(body, (st, window), ts)
+    return [state[i] + st[i] for i in range(8)]
 
 
 @partial(jax.jit, static_argnums=(1,))

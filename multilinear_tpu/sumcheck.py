@@ -1,0 +1,354 @@
+"""The sumcheck engine: device partial-sum/fold kernels + host round driver.
+
+Protocol semantics match the reference engine
+(src/constraint_system/sumcheck.rs) exactly - same round-polynomial wire
+format (constant coefficient stripped, quirk Q7), same transcript schedule
+(absorb nonzero coeffs, then draw the challenge), same table fold
+lo' = (1-r)*lo + r*hi pairing row i with i + h/2 (MSB fold, big-endian
+variable order).
+
+TPU-first architecture: the reference walks rows one at a time
+(sumcheck.rs:204-247); here each round is TWO fused device passes over the
+whole table:
+
+* ``partial-sum``: for every X in 1..=d the tables are linearly extended to
+  X (lo + X*(hi-lo), X a tiny static int so the multiply is a cheap
+  ``mul_small``), the composition polynomial is evaluated columnwise on the
+  VPU, weighted by the extended delta table, and reduced with the
+  carry-free chunked ``sum_mod``.  All d extension points go in one kernel.
+* ``fold``: lo + r*(hi-lo) on matrix and delta with the drawn challenge.
+
+The per-round host<->device traffic is O(d) field elements (the partial
+sums) plus one 16-byte challenge - the sequential Fiat-Shamir skeleton -
+while all O(h*w) work stays on device.  Shapes halve every round; each
+round size jit-compiles once and is cached.
+
+Sharding: both kernels are elementwise over rows + one reduction, so under
+a row-sharded mesh XLA lowers ``sum_mod`` to a local reduce + psum and the
+fold's (i, i+h/2) pairing to a neighbor ppermute for the first
+log(#devices) rounds (see multilinear_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field import limbs, ops
+from .field.scalar import Fp, TWO_INV, ZERO
+from .mle import delta_table
+from .poly import Polynomial, PolynomialEvals
+from .transcript import Transcript
+
+
+def _host_delta_table(points: Sequence[Fp]):
+    """eq(points, .) over {0,1}^n as host ints, big-endian doubling."""
+    from .field.scalar import P
+
+    table = [1]
+    for pt in points:
+        p = Fp(pt).v
+        om = (1 - p) % P
+        table = [v * w % P for v in table for w in (om, p)]
+    return table
+
+# A composition maps a list of per-column FA arrays (and is free to close
+# over host-side randoms/masks) to one FA array.  Mirrors the reference
+# composition closure (sumcheck.rs:47-52) but vectorized over all rows.
+Composition = Callable[[Sequence[ops.FA]], ops.FA]
+
+
+@dataclass
+class SumcheckPoly:
+    """Round-polynomial wire format: constant coefficient stripped (Q7).
+
+    Reference: SumcheckPolynomial (src/constraint_system/sumcheck.rs:263-276).
+    """
+
+    nonzero_coeffs: List[Fp]
+
+    def to_polynomial(self, sum_value: Fp) -> Polynomial:
+        """Recover the full polynomial from p(0) + p(1) = sum_value."""
+        sum_coeff = ZERO
+        for c in self.nonzero_coeffs:
+            sum_coeff = sum_coeff + c
+        a0 = (sum_value - sum_coeff) * TWO_INV
+        return Polynomial([a0] + self.nonzero_coeffs)
+
+    def absorb_into(self, transcript: Transcript) -> None:
+        for c in self.nonzero_coeffs:
+            transcript.absorb(c.to_bytes())
+
+
+def _lin_ext_small(lo, hi, x: int):
+    """lo + x*(hi - lo) for a small static integer x (the X=1..d points)."""
+    if x == 1:
+        return hi
+    return ops.add(lo, ops.mul_small(ops.sub(hi, lo), x))
+
+
+def _lin_ext(lo, hi, r_limbs):
+    """lo + r*(hi - lo) for a full field scalar r."""
+    rb = ops.broadcast_scalar(r_limbs, lo.shape[1:])
+    return ops.add(lo, ops.mul(rb, ops.sub(hi, lo)))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _partial_sums_kernel(matrix, delta, total_degree: int, composition: Composition):
+    """Round polynomial evaluations s(X) for X = 1..total_degree.
+
+    matrix: (8, w, h) limb array; delta: (8, h).  Returns (8, total_degree).
+    """
+    h = matrix.shape[-1]
+    off = h // 2
+    w = matrix.shape[1]
+    m_lo, m_hi = matrix[..., :off], matrix[..., off:]
+    d_lo, d_hi = delta[..., :off], delta[..., off:]
+    outs = []
+    for x in range(1, total_degree + 1):
+        dx = _lin_ext_small(d_lo, d_hi, x)
+        cols = [ops.FA(_lin_ext_small(m_lo[:, j], m_hi[:, j], x)) for j in range(w)]
+        comp = composition(cols)
+        if isinstance(comp, ops.FA):
+            carr = comp.a
+        else:  # composition collapsed to a host scalar (e.g. a constant Expr)
+            carr = ops.broadcast_scalar(limbs.pack_scalar(comp), dx.shape[1:])
+        outs.append(ops.sum_mod(ops.mul(dx, carr), axis=1))
+    return jnp.stack(outs, axis=1)
+
+
+@jax.jit
+def _fold_kernel(matrix, delta, r_limbs):
+    """Fold both tables with challenge r: lo + r*(hi - lo); height halves."""
+    h = matrix.shape[-1]
+    off = h // 2
+    new_matrix = _lin_ext(matrix[..., :off], matrix[..., off:], r_limbs)
+    new_delta = _lin_ext(delta[..., :off], delta[..., off:], r_limbs)
+    return new_matrix, new_delta
+
+
+def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
+    """The PCS composition: x -> x[0] (reference multilinear_pcs.rs:56)."""
+    return cols[0]
+
+
+# Below this height the tables move to the host and rounds run as exact
+# integer arithmetic: the tail rounds of a proof are tiny, and a device
+# kernel launch + fresh XLA compile per halved shape costs far more than
+# a few thousand bigint multiplies.  The big rounds (where the FLOPs are)
+# stay on device.
+HOST_THRESHOLD = 1 << 12
+
+_P_INT = None
+
+
+def _p() -> int:
+    global _P_INT
+    if _P_INT is None:
+        from .field.scalar import P
+
+        _P_INT = P
+    return _P_INT
+
+
+class SumcheckTables:
+    """Prover state: the folding trace matrix and delta (eq-weight) table.
+
+    Device mode: matrix (8, width, height) limb array (height on the last
+    axis), delta (8, height).  Host mode (height <= HOST_THRESHOLD):
+    column-major Python int lists.
+    """
+
+    def __init__(self, matrix, delta, width: int, height: int):
+        self.matrix = matrix  # device (8, w, h) or None
+        self.delta = delta  # device (8, h) or None
+        self.width = width
+        self.height = height
+        self.host_matrix = None  # list of w column lists of ints
+        self.host_delta = None  # list of ints
+        self._maybe_to_host()
+
+    @property
+    def on_host(self) -> bool:
+        return self.host_matrix is not None
+
+    def _maybe_to_host(self) -> None:
+        if self.host_matrix is not None or self.height > HOST_THRESHOLD:
+            return
+        m = limbs.unpack_ints(np.asarray(self.matrix))  # (w, h) object ints
+        d = limbs.unpack_ints(np.asarray(self.delta))
+        self.host_matrix = [[int(v) for v in m[j]] for j in range(self.width)]
+        self.host_delta = [int(v) for v in d]
+        self.matrix = None
+        self.delta = None
+
+    @staticmethod
+    def _host_from_ints(matrix_cols, delta_ints, width, height) -> "SumcheckTables":
+        t = SumcheckTables.__new__(SumcheckTables)
+        t.matrix = None
+        t.delta = None
+        t.width = width
+        t.height = height
+        t.host_matrix = matrix_cols
+        t.host_delta = delta_ints
+        return t
+
+    @staticmethod
+    def for_pcs(inputs: Sequence[Fp], evals) -> "SumcheckTables":
+        """Tables for the PCS claim p(inputs) = output.
+
+        ``evals`` is the MLE in evaluation form, (8, 2^n) limb array.
+        Reference: build_tables_for_pcs (sumcheck.rs:128-145), with the
+        delta table built by tensor-product doubling instead of per-row
+        Mask loops.
+        """
+        height = evals.shape[-1]
+        n_vars = len(inputs)
+        assert 1 << n_vars == height
+        if height <= HOST_THRESHOLD:
+            col = [int(v) for v in limbs.unpack_ints(np.asarray(evals))]
+            return SumcheckTables._host_from_ints(
+                [col], _host_delta_table(inputs), 1, height
+            )
+        delta = delta_table(inputs)
+        matrix = evals.reshape(8, 1, height)
+        return SumcheckTables(matrix, delta, 1, height)
+
+    @staticmethod
+    def for_trace(row_challenges: Sequence[Fp], trace_columns) -> "SumcheckTables":
+        """Tables for a constraint-system trace.
+
+        ``trace_columns``: (8, w, h) limb array of the trace columns' MLEs.
+        delta[i] = eq(row_challenges, bits(i)) (reference build_tables,
+        sumcheck.rs:22-38).
+        """
+        _, width, height = trace_columns.shape
+        assert 1 << len(row_challenges) == height
+        if height <= HOST_THRESHOLD:
+            m = limbs.unpack_ints(np.asarray(trace_columns))
+            cols = [[int(v) for v in m[j]] for j in range(width)]
+            return SumcheckTables._host_from_ints(
+                cols, _host_delta_table(row_challenges), width, height
+            )
+        delta = delta_table(row_challenges)
+        return SumcheckTables(trace_columns, delta, width, height)
+
+    # -- one round ----------------------------------------------------------
+    def compute_round(
+        self,
+        composition: Composition,
+        total_degree: int,
+        previous_sum: Fp,
+        transcript: Transcript,
+    ):
+        """Run one sumcheck round; returns (SumcheckPoly, challenge, new_sum).
+
+        Mirrors compute_sumcheck_polynomial (sumcheck.rs:174-202): evaluate
+        s at X=1..d, recover s(0) = previous_sum - s(1), interpolate,
+        absorb the nonzero coefficients, draw r, fold.
+        """
+        if self.on_host:
+            sums = self._partial_sums_host(composition, total_degree)
+        else:
+            sums_dev = _partial_sums_kernel(
+                self.matrix, self.delta, total_degree, composition
+            )
+            sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
+        evals = [ZERO] * (total_degree + 1)
+        for i in range(1, total_degree + 1):
+            evals[i] = Fp(sums[i - 1])
+        evals[0] = previous_sum - evals[1]
+        pol = PolynomialEvals(evals).interpolate()
+        sc_pol = SumcheckPoly(pol.coeffs[1:])
+        sc_pol.absorb_into(transcript)
+        r = transcript.next_challenge()
+        new_sum = pol.evaluate(r)
+        self.fold(r)
+        return sc_pol, r, new_sum
+
+    def _partial_sums_host(self, composition: Composition, total_degree: int):
+        P = _p()
+        off = self.height >> 1
+        m, d = self.host_matrix, self.host_delta
+        out = []
+        for x in range(1, total_degree + 1):
+            s = 0
+            for i in range(off):
+                dx = (d[i] + x * (d[i + off] - d[i])) % P
+                vals = [Fp((c[i] + x * (c[i + off] - c[i])) % P) for c in m]
+                s = (s + dx * composition(vals).v) % P
+            out.append(s)
+        return out
+
+    def fold(self, r: Fp) -> None:
+        if self.on_host:
+            P = _p()
+            rv = r.v
+            off = self.height >> 1
+            self.host_delta = [
+                (lo + rv * (hi - lo)) % P
+                for lo, hi in zip(self.host_delta[:off], self.host_delta[off:])
+            ]
+            self.host_matrix = [
+                [(lo + rv * (hi - lo)) % P for lo, hi in zip(c[:off], c[off:])]
+                for c in self.host_matrix
+            ]
+            self.height = off
+            return
+        r_limbs = jnp.asarray(limbs.pack_scalar(r))
+        self.matrix, self.delta = _fold_kernel(self.matrix, self.delta, r_limbs)
+        self.height >>= 1
+        self._maybe_to_host()
+
+    # -- all rounds (standalone sumcheck) ------------------------------------
+    def compute_all_rounds(
+        self,
+        composition: Composition,
+        composition_degree: int,
+        transcript: Transcript,
+        sum_value: Fp,
+    ):
+        """Run all log2(height) rounds (sumcheck.rs:147-172).
+
+        Returns (pols, randoms).  Round degree = composition degree + 1
+        (the delta factor is multilinear).
+        """
+        total_degree = composition_degree + 1
+        n_rounds = self.height.bit_length() - 1
+        pols: List[SumcheckPoly] = []
+        randoms: List[Fp] = []
+        prev = sum_value
+        for _ in range(n_rounds):
+            pol, r, prev = self.compute_round(composition, total_degree, prev, transcript)
+            pols.append(pol)
+            randoms.append(r)
+        return pols, randoms
+
+
+def replay_sumcheck(transcript: Transcript, pols: Sequence[SumcheckPoly], sum_value: Fp):
+    """Verifier-side telescoping replay for the standalone protocol.
+
+    Absorbs each round polynomial and draws the challenges exactly as the
+    prover did (reference verify_sumcheck_debug / verify_with_evaluations,
+    sumcheck.rs:55-124).  Returns (randoms, final_value) where final_value
+    = p_last(r_last) must equal delta(rs) * composition(trace(rs)).
+    """
+    assert pols, "at least one round polynomial is expected"
+    rs: List[Fp] = []
+    it = iter(pols)
+    first = next(it)
+    first.absorb_into(transcript)
+    pol = first.to_polynomial(sum_value)
+    for sc_pol in it:
+        r = transcript.next_challenge()
+        sc_pol.absorb_into(transcript)
+        pol = sc_pol.to_polynomial(pol.evaluate(r))
+        rs.append(r)
+    r = transcript.next_challenge()
+    rs.append(r)
+    return rs, pol.evaluate(r)
