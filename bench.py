@@ -1,0 +1,203 @@
+"""Benchmark driver: prints ONE JSON line for the tracked headline metric.
+
+Default metric: multilinear PCS prove wall-clock (sumcheck + FRI
+commit/open interleaved, the BASELINE.md north-star workload) at 2^20
+variables - the size the reference's own benchmark test exercises
+(reference src/fri/multilinear_pcs.rs:211-228).
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
+speedup vs an ESTIMATED single-thread Rust reference wall-clock
+(documented in _BASELINE_EST_S below; replace with measured numbers when a
+Rust toolchain is available).  vs_baseline > 1 means faster than the
+estimate.
+
+Usage: python bench.py [--log-n 20] [--metric pcs|ntt|fri|sumcheck]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _setup_jax():
+    flags = os.environ.get("XLA_FLAGS", "")
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
+
+# Estimated single-core Rust reference wall-clock in seconds, by (metric,
+# log_n).  Derivation: the reference is single-threaded winterfell-u128
+# arithmetic + sha2; dominant costs are SHA-256 Merkle hashing (~150 ns/hash,
+# ~2 hashes per codeword element per commit level-0) and ~n log n field muls
+# (~15-25 ns each).  These place PCS at 2^20 around 2.5 s and scale ~linearly
+# in the table size.  TO BE REPLACED by measured numbers on a comparable CPU.
+_BASELINE_EST_S = {
+    ("pcs", 16): 0.16,
+    ("pcs", 18): 0.63,
+    ("pcs", 20): 2.5,
+    ("pcs", 22): 10.0,
+    ("pcs", 24): 40.0,
+    ("ntt", 20): 0.35,
+    ("ntt", 24): 7.0,
+    ("fri", 20): 1.6,
+    ("sumcheck", 20): 1.2,
+}
+
+
+def _baseline(metric: str, log_n: int) -> float:
+    if (metric, log_n) in _BASELINE_EST_S:
+        return _BASELINE_EST_S[(metric, log_n)]
+    # linear extrapolation in table size from the nearest anchor
+    anchors = [k[1] for k in _BASELINE_EST_S if k[0] == metric]
+    a = min(anchors, key=lambda x: abs(x - log_n))
+    return _BASELINE_EST_S[(metric, a)] * (2 ** (log_n - a))
+
+
+def bench_pcs(log_n: int):
+    import jax.numpy as jnp
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.transcript import Transcript
+
+    import numpy as np
+
+    h = 1 << log_n
+    vals = (np.arange(h, dtype=np.uint64) * 7 + 3).tolist()
+    evals = jnp.asarray(limbs.pack_ints(vals))
+    evals.block_until_ready()
+    inputs = [Fp(i) for i in range(log_n)]
+    output = evaluate_evals_host(evals, inputs)
+
+    def run():
+        t0 = time.perf_counter()
+        proof = PCSProof.prove(inputs, output, evals, Transcript())
+        dt = time.perf_counter() - t0
+        return proof, dt
+
+    run()  # warmup: compiles cached
+    proof, dt = run()
+    proof.verify(Transcript())
+    return dt
+
+
+def bench_ntt(log_n: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.ntt import ntt
+
+    h = 1 << log_n
+    vals = np.arange(h, dtype=np.uint64).tolist()
+    coeffs = jnp.asarray(limbs.pack_ints(vals))
+    coeffs.block_until_ready()
+    ntt(coeffs).block_until_ready()  # warmup
+    t0 = time.perf_counter()
+    ntt(coeffs).block_until_ready()
+    return time.perf_counter() - t0
+
+
+def bench_fri(log_n: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.fri import FriProof
+    from multilinear_tpu.ntt import reed_solomon
+    from multilinear_tpu.transcript import Transcript
+
+    h = 1 << log_n
+    vals = np.arange(h, dtype=np.uint64).tolist()
+    code = reed_solomon(jnp.asarray(limbs.pack_ints(vals)))
+    code.block_until_ready()
+
+    def run():
+        t0 = time.perf_counter()
+        proof = FriProof.prove(code, Transcript())
+        return proof, time.perf_counter() - t0
+
+    run()
+    proof, dt = run()
+    proof.verify()
+    return dt
+
+
+def bench_sumcheck(log_n: int):
+    from multilinear_tpu.field.scalar import Fp, ZERO
+    from multilinear_tpu.system import ConstraintSet, System, Trace, WitnessLayout
+    from multilinear_tpu.transcript import Transcript
+
+    base = [
+        3, 4, 5, 7, 5, 12, 13, 17, 8, 15, 17, 23, 7, 24, 25, 31,
+        20, 21, 29, 41, 12, 35, 37, 47, 9, 40, 41, 49, 28, 45, 53, 73,
+        11, 60, 61, 71, 16, 63, 65, 79, 33, 56, 65, 89, 48, 55, 73, 103,
+        13, 84, 85, 97, 36, 77, 85, 113, 39, 80, 89, 119, 65, 72, 97, 137,
+    ]
+    rows = base[:]
+    while len(rows) < (1 << log_n) * 4:
+        rows = rows + rows
+    constraints = ConstraintSet(
+        constraints=[
+            lambda v, r: v[0] * v[0] + v[1] * v[1] - v[2] * v[2],
+            lambda v, r: v[0] + v[1] - v[3],
+        ],
+        degree=2,
+    )
+    layout = WitnessLayout(columns=4)
+
+    def run():
+        trace = Trace(rows, 4)
+        transcript = Transcript()
+        prover = System.prover(transcript, constraints, layout, trace)
+        t0 = time.perf_counter()
+        tables = prover.build_tables()
+        pols, _ = prover.compute_sumcheck_polynomials(transcript, tables, ZERO)
+        return time.perf_counter() - t0
+
+    run()
+    return run()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n", type=int, default=20)
+    ap.add_argument(
+        "--metric", choices=["pcs", "ntt", "fri", "sumcheck"], default="pcs"
+    )
+    args = ap.parse_args()
+
+    _setup_jax()
+    fn = {
+        "pcs": bench_pcs,
+        "ntt": bench_ntt,
+        "fri": bench_fri,
+        "sumcheck": bench_sumcheck,
+    }[args.metric]
+    dt = fn(args.log_n)
+    baseline = _baseline(args.metric, args.log_n)
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.metric}_prove_wall_clock_2^{args.log_n}",
+                "value": round(dt, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,22 @@ def _commit_code(code) -> MerkleTree:
     return MerkleTree.commit(pairs)
 
 
+@jax.jit
+def _fold_and_commit(code, twiddles, r_limbs, half_limbs):
+    """Fold + pair + hash every Merkle level in ONE device dispatch.
+
+    Keeps the per-round host<->device traffic to a single launch; with
+    remote-tunnel dispatch latency this beats separate fold/commit calls.
+    """
+    from .merkle import _commit_layers
+
+    nxt = _fold_codeword(code, twiddles, r_limbs, half_limbs)
+    half_n = nxt.shape[-1] // 2
+    pairs = jnp.stack([nxt[..., :half_n], nxt[..., half_n:]], axis=1)
+    layers = _commit_layers(pairs, 2)
+    return nxt, pairs, layers
+
+
 def _host_commit_code(code_ints: List[int]) -> FieldHostTree:
     half = len(code_ints) // 2
     return FieldHostTree(
@@ -162,12 +178,17 @@ class FriProverData:
         half = m // 2
         inv_pows = inv_gen_pows(self._log_domain)  # (8, 2^log_domain)
         tw = inv_pows[:, :: 1 << k][:, :half]
-        nxt = _fold_codeword(
-            code,
-            tw,
-            jnp.asarray(limbs.pack_scalar(r)),
-            jnp.asarray(limbs.pack_scalar(TWO_INV)),
-        )
+        r_limbs = jnp.asarray(limbs.pack_scalar(r))
+        half_limbs = jnp.asarray(limbs.pack_scalar(TWO_INV))
+        if half > HOST_THRESHOLD and half > blowup:
+            # fused fold + full Merkle commit: one device dispatch per round
+            nxt, pairs, layers = _fold_and_commit(code, tw, r_limbs, half_limbs)
+            self._current = nxt
+            tree = MerkleTree(list(layers), pairs)
+            self.trees.append(tree)
+            transcript.absorb(tree.root_bytes())
+            return
+        nxt = _fold_codeword(code, tw, r_limbs, half_limbs)
         self._current = nxt
         self._maybe_to_host()
         if half == blowup:

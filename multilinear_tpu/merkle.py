@@ -35,17 +35,49 @@ RIGHT = 0  # current index even: sibling is the right child
 LEFT = 1  # current index odd:  sibling is the left child
 
 
-def _build_layers(leaf_digests):
-    """From (8, n) leaf digests, hash up to the root.  Returns all layers."""
-    layers = [leaf_digests]
-    cur = leaf_digests
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _commit_layers(leaf_columns, B: int):
+    """Hash leaves and every tree level in ONE traced computation.
+
+    Fusing all levels into a single dispatch matters on TPU: the driver
+    loop otherwise pays a host->device round trip per level, and with the
+    remote-tunnel dispatch latency that dominates the hash work itself.
+    Returns a tuple of (8, n_i) digest-word arrays, leaf level first.
+    """
+    words = jnp.concatenate(
+        [limbs_to_words(leaf_columns[:, b, :]) for b in range(B)], axis=0
+    )  # (4B, n)
+    cur = sha256_words(words, 4 * B)
+    layers = [cur]
     while cur.shape[1] > 1:
         pairs = cur.reshape(8, cur.shape[1] // 2, 2)
         left, right = pairs[:, :, 0], pairs[:, :, 1]
         msg = jnp.concatenate([left, right], axis=0)  # (16, n/2) words
         cur = sha256_words(msg, 16)
         layers.append(cur)
-    return layers
+    return tuple(layers)
+
+
+@jax.jit
+def _gather_openings(layers, leaf_columns, idx):
+    """Leaf payloads + sibling digests for ALL queries in one dispatch.
+
+    idx: (nq,) int32 leaf indices.  Returns ((8, B, nq) values,
+    (L, 8, nq) sibling digests stacked over levels) - exactly TWO arrays,
+    so the host pays two transfers per tree instead of one per level.
+    """
+    vals = jnp.take(leaf_columns, idx, axis=2)
+    sibs = []
+    cur = idx
+    for layer in layers[:-1]:
+        sibs.append(jnp.take(layer, cur ^ 1, axis=1))
+        cur = cur // 2
+    return vals, jnp.stack(sibs, axis=0)
 
 
 class MerkleTree:
@@ -68,15 +100,12 @@ class MerkleTree:
         leaf_columns: (8, B, n) limb array; leaf i's message is the
         concatenation of the B elements' 16-LE-byte encodings (so B=2 gives
         the FRI pair leaves; B=2*batch gives column-batched commitment,
-        reference src/merkle_tree/mod.rs:92-131).
+        reference src/merkle_tree/mod.rs:92-131).  One fused device
+        dispatch hashes every level.
         """
         _, B, n = leaf_columns.shape
         assert n & (n - 1) == 0, "leaf count must be a power of two"
-        words = jnp.concatenate(
-            [limbs_to_words(leaf_columns[:, b, :]) for b in range(B)], axis=0
-        )  # (4B, n)
-        leaf_digests = sha256_words(words, 4 * B)
-        return MerkleTree(_build_layers(leaf_digests), leaf_columns)
+        return MerkleTree(list(_commit_layers(leaf_columns, B)), leaf_columns)
 
     # -- accessors -----------------------------------------------------------
     @property
@@ -90,29 +119,26 @@ class MerkleTree:
 
     # -- opening -------------------------------------------------------------
     def open_batch(self, indices: Sequence[int]) -> List["MerklePath"]:
-        """Open many indices at once: one device gather + transfer per level."""
-        idx = np.asarray(list(indices), dtype=np.int64)
+        """Open many indices at once: ONE device dispatch gathers all leaf
+        payloads and sibling digests for every query and level."""
+        idx = np.asarray(list(indices), dtype=np.int32)
         nq = len(idx)
-        # leaf payloads for every query: (8, B, nq)
-        vals = np.asarray(self.leaf_columns[:, :, jnp.asarray(idx)])
+        vals_dev, sibs_dev = _gather_openings(
+            tuple(self.layers), self.leaf_columns, jnp.asarray(idx)
+        )
+        vals = np.asarray(vals_dev)  # (8, B, nq)
         B = vals.shape[1]
         from .field.limbs import unpack_ints
 
         ints = unpack_ints(vals)  # (B, nq) Python ints
-
-        sib_bytes_per_level = []
-        cur = idx.copy()
-        for layer in self.layers[:-1]:
-            sib = cur ^ 1
-            cols = np.asarray(jnp.take(layer, jnp.asarray(sib), axis=1))  # (8, nq)
-            sib_bytes_per_level.append(digests_to_bytes(cols))  # (nq, 32)
-            cur >>= 1
+        sibs = np.asarray(sibs_dev)  # (L, 8, nq)
+        sib_bytes_per_level = [digests_to_bytes(sibs[l]) for l in range(sibs.shape[0])]
 
         paths = []
         for q in range(nq):
             path = []
             cur_i = int(idx[q])
-            for lvl, sb in enumerate(sib_bytes_per_level):
+            for sb in sib_bytes_per_level:
                 direction = RIGHT if cur_i % 2 == 0 else LEFT
                 path.append((sb[q].tobytes(), direction))
                 cur_i //= 2
