@@ -97,15 +97,18 @@ class BatchedPCSProof:
 
         previous_sum = fingerprint(fri_data.fingerprint_r, claim.outputs)
         pols: List[SumcheckPoly] = []
+        from .pcs import fused_pcs_fold
+
         for k in range(n_vars):
-            pol, r, previous_sum = tables.compute_round(
+            pol, r, previous_sum = tables.round_poly(
                 identity_composition, 2, previous_sum, transcript
             )
             pols.append(pol)
             if k == 0:
+                tables.fold(r)
                 fri_data.batched_fold_step(r, transcript)
             else:
-                fri_data.fri_data.fold_step(k, r, transcript)
+                fused_pcs_fold(tables, fri_data.fri_data, k, r, transcript)
         assert fri_data.fri_data.last_element is not None
 
         domain_size = 1 << log_domain_size

@@ -42,9 +42,25 @@ def pack_scalar(x) -> np.ndarray:
 
 
 def pack_ints(vs, shape=None) -> np.ndarray:
-    """Pack an iterable of ints/Fp into an (8, N) limb array (or (8,)+shape)."""
+    """Pack an iterable of ints/Fp into an (8, N) limb array (or (8,)+shape).
+
+    Values already below 2^64 take a fully vectorized numpy path (the
+    common case for synthetic/benchmark data); anything larger falls back
+    to exact object-array arithmetic.
+    """
+    if isinstance(vs, np.ndarray) and vs.dtype == np.uint64:
+        small = vs.reshape(-1)
+        n = small.shape[0]
+        out = np.zeros((NLIMBS, n), dtype=np.uint32)
+        for i in range(4):
+            out[i] = ((small >> np.uint64(16 * i)) & np.uint64(LIMB_MASK)).astype(np.uint32)
+        if shape is not None:
+            out = out.reshape((NLIMBS,) + tuple(shape))
+        return out
     vals = [(v.v if isinstance(v, Fp) else int(v)) % P for v in vs]
     n = len(vals)
+    if n and max(vals) < (1 << 64):
+        return pack_ints(np.array(vals, dtype=np.uint64), shape=shape)
     out = np.empty((NLIMBS, n), dtype=np.uint32)
     arr = np.array(vals, dtype=object)
     for i in range(NLIMBS):

@@ -24,12 +24,66 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Sequence
 
-from .field.scalar import Fp
-from .fri import FriError, FriProof, FriProverData, NUM_QUERIES, QueryProof, encode_mle_for_fri
+import jax
+import jax.numpy as jnp
+
+from .field import limbs
+from .field.scalar import Fp, TWO_INV
+from .fri import (
+    FriError,
+    FriProof,
+    FriProverData,
+    HOST_THRESHOLD,
+    NUM_QUERIES,
+    QueryProof,
+    _fold_and_commit,
+    encode_mle_for_fri,
+)
+from .merkle import MerkleTree
 from .mle import eq_scalar
-from .ntt import LOG_BLOWUP
-from .sumcheck import SumcheckPoly, SumcheckTables, identity_composition
+from .ntt import LOG_BLOWUP, inv_gen_pows
+from .sumcheck import SumcheckPoly, SumcheckTables, _fold_kernel, identity_composition
 from .transcript import Transcript
+
+
+@jax.jit
+def _pcs_round_tail(data, code, twiddles, r_limbs, half_limbs):
+    """Everything after the challenge, in ONE device dispatch: fold the
+    packed sumcheck table, fold the codeword, hash the next Merkle tree."""
+    new_data = _fold_kernel(data, r_limbs)
+    nxt, pairs, layers = _fold_and_commit(code, twiddles, r_limbs, half_limbs)
+    return new_data, nxt, pairs, layers
+
+
+def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: Fp, transcript: Transcript) -> None:
+    """Fold sumcheck tables + FRI codeword with the shared challenge r.
+
+    Uses the single-dispatch fused kernel while both live on device and
+    the next layer is committed on device; falls back to the separate
+    paths near the host-threshold tail.
+    """
+    blowup = 1 << LOG_BLOWUP
+    if not tables.on_host and fri_data._current_host is None:
+        m = fri_data._current.shape[-1]
+        half = m // 2
+        if half > blowup and half > HOST_THRESHOLD:
+            inv_pows = inv_gen_pows(fri_data._log_domain)
+            tw = inv_pows[:, :: 1 << k][:, :half]
+            new_data, nxt, pairs, layers = _pcs_round_tail(
+                tables.data,
+                fri_data._current,
+                tw,
+                jnp.asarray(limbs.pack_scalar(r)),
+                jnp.asarray(limbs.pack_scalar(TWO_INV)),
+            )
+            tables.apply_folded(new_data)
+            fri_data._current = nxt
+            tree = MerkleTree(list(layers), pairs)
+            fri_data.trees.append(tree)
+            transcript.absorb(tree.root_bytes())
+            return
+    tables.fold(r)
+    fri_data.fold_step(k, r, transcript)
 
 
 @dataclass
@@ -62,11 +116,11 @@ class PCSProof:
         previous_sum = Fp(output)
         pols: List[SumcheckPoly] = []
         for k in range(num_steps):
-            pol, r, previous_sum = tables.compute_round(
+            pol, r, previous_sum = tables.round_poly(
                 identity_composition, 2, previous_sum, transcript
             )
             pols.append(pol)
-            fri_data.fold_step(k, r, transcript)
+            fused_pcs_fold(tables, fri_data, k, r, transcript)
         assert fri_data.last_element is not None
 
         domain_size = 1 << log_domain_size

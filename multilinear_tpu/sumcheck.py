@@ -85,34 +85,50 @@ class SumcheckPoly:
             transcript.absorb(c.to_bytes())
 
 
-def _lin_ext_small(lo, hi, x: int):
-    """lo + x*(hi - lo) for a small static integer x (the X=1..d points)."""
-    if x == 1:
-        return hi
-    return ops.add(lo, ops.mul_small(ops.sub(hi, lo), x))
-
-
 def _lin_ext(lo, hi, r_limbs):
     """lo + r*(hi - lo) for a full field scalar r."""
     rb = ops.broadcast_scalar(r_limbs, lo.shape[1:])
     return ops.add(lo, ops.mul(rb, ops.sub(hi, lo)))
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _partial_sums_kernel(matrix, delta, total_degree: int, composition: Composition):
+def _extensions(data, total_degree: int):
+    """Linear extensions of the packed table at X = 1..total_degree.
+
+    data: (8, w+1, h).  Returns a list of (8, w+1, h/2) arrays.  Uses the
+    incremental form ext(X+1) = ext(X) + (hi - lo): NO field multiplies -
+    the only muls of a round-poly evaluation are the composition itself
+    and the final delta product.
+    """
+    h = data.shape[-1]
+    off = h // 2
+    lo, hi = data[..., :off], data[..., off:]
+    diff = ops.sub(hi, lo)
+    exts = [hi]
+    cur = hi
+    for _ in range(2, total_degree + 1):
+        cur = ops.add(cur, diff)
+        exts.append(cur)
+    return exts
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _partial_sums_kernel(data, total_degree: int, composition: Composition):
     """Round polynomial evaluations s(X) for X = 1..total_degree.
 
-    matrix: (8, w, h) limb array; delta: (8, h).  Returns (8, total_degree).
+    data: (8, w+1, h) packed table - trace columns 0..w-1, delta weights in
+    the LAST column.  Returns (8, total_degree).  For the identity
+    composition all X points share one batched multiply.
     """
-    h = matrix.shape[-1]
-    off = h // 2
-    w = matrix.shape[1]
-    m_lo, m_hi = matrix[..., :off], matrix[..., off:]
-    d_lo, d_hi = delta[..., :off], delta[..., off:]
+    w = data.shape[1] - 1
+    exts = _extensions(data, total_degree)
+    if composition is identity_composition:
+        dx = jnp.stack([e[:, w] for e in exts], axis=1)  # (8, d, off)
+        mx = jnp.stack([e[:, 0] for e in exts], axis=1)
+        return ops.sum_mod(ops.mul(dx, mx), axis=2)
     outs = []
-    for x in range(1, total_degree + 1):
-        dx = _lin_ext_small(d_lo, d_hi, x)
-        cols = [ops.FA(_lin_ext_small(m_lo[:, j], m_hi[:, j], x)) for j in range(w)]
+    for e in exts:
+        dx = e[:, w]
+        cols = [ops.FA(e[:, j]) for j in range(w)]
         comp = composition(cols)
         if isinstance(comp, ops.FA):
             carr = comp.a
@@ -123,13 +139,12 @@ def _partial_sums_kernel(matrix, delta, total_degree: int, composition: Composit
 
 
 @jax.jit
-def _fold_kernel(matrix, delta, r_limbs):
-    """Fold both tables with challenge r: lo + r*(hi - lo); height halves."""
-    h = matrix.shape[-1]
+def _fold_kernel(data, r_limbs):
+    """Fold the packed table with challenge r: lo + r*(hi - lo); ONE multiply
+    covers all trace columns and the delta column."""
+    h = data.shape[-1]
     off = h // 2
-    new_matrix = _lin_ext(matrix[..., :off], matrix[..., off:], r_limbs)
-    new_delta = _lin_ext(delta[..., :off], delta[..., off:], r_limbs)
-    return new_matrix, new_delta
+    return _lin_ext(data[..., :off], data[..., off:], r_limbs)
 
 
 def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
@@ -157,16 +172,16 @@ def _p() -> int:
 
 
 class SumcheckTables:
-    """Prover state: the folding trace matrix and delta (eq-weight) table.
+    """Prover state: trace columns + delta table, packed as one array.
 
-    Device mode: matrix (8, width, height) limb array (height on the last
-    axis), delta (8, height).  Host mode (height <= HOST_THRESHOLD):
+    Device mode: ``data`` is (8, width+1, height) with the delta (eq-weight)
+    table in the LAST column slot - packing means the per-round fold is ONE
+    field multiply over everything.  Host mode (height <= HOST_THRESHOLD):
     column-major Python int lists.
     """
 
-    def __init__(self, matrix, delta, width: int, height: int):
-        self.matrix = matrix  # device (8, w, h) or None
-        self.delta = delta  # device (8, h) or None
+    def __init__(self, data, width: int, height: int):
+        self.data = data  # device (8, w+1, h) or None
         self.width = width
         self.height = height
         self.host_matrix = None  # list of w column lists of ints
@@ -180,18 +195,15 @@ class SumcheckTables:
     def _maybe_to_host(self) -> None:
         if self.host_matrix is not None or self.height > HOST_THRESHOLD:
             return
-        m = limbs.unpack_ints(np.asarray(self.matrix))  # (w, h) object ints
-        d = limbs.unpack_ints(np.asarray(self.delta))
+        m = limbs.unpack_ints(np.asarray(self.data))  # (w+1, h) object ints
         self.host_matrix = [[int(v) for v in m[j]] for j in range(self.width)]
-        self.host_delta = [int(v) for v in d]
-        self.matrix = None
-        self.delta = None
+        self.host_delta = [int(v) for v in m[self.width]]
+        self.data = None
 
     @staticmethod
     def _host_from_ints(matrix_cols, delta_ints, width, height) -> "SumcheckTables":
         t = SumcheckTables.__new__(SumcheckTables)
-        t.matrix = None
-        t.delta = None
+        t.data = None
         t.width = width
         t.height = height
         t.host_matrix = matrix_cols
@@ -216,8 +228,10 @@ class SumcheckTables:
                 [col], _host_delta_table(inputs), 1, height
             )
         delta = delta_table(inputs)
-        matrix = evals.reshape(8, 1, height)
-        return SumcheckTables(matrix, delta, 1, height)
+        data = jnp.concatenate(
+            [evals.reshape(8, 1, height), delta.reshape(8, 1, height)], axis=1
+        )
+        return SumcheckTables(data, 1, height)
 
     @staticmethod
     def for_trace(row_challenges: Sequence[Fp], trace_columns) -> "SumcheckTables":
@@ -236,28 +250,29 @@ class SumcheckTables:
                 cols, _host_delta_table(row_challenges), width, height
             )
         delta = delta_table(row_challenges)
-        return SumcheckTables(trace_columns, delta, width, height)
+        data = jnp.concatenate([trace_columns, delta.reshape(8, 1, height)], axis=1)
+        return SumcheckTables(data, width, height)
 
     # -- one round ----------------------------------------------------------
-    def compute_round(
+    def round_poly(
         self,
         composition: Composition,
         total_degree: int,
         previous_sum: Fp,
         transcript: Transcript,
     ):
-        """Run one sumcheck round; returns (SumcheckPoly, challenge, new_sum).
+        """Compute + absorb the round polynomial and draw r, WITHOUT folding.
 
-        Mirrors compute_sumcheck_polynomial (sumcheck.rs:174-202): evaluate
-        s at X=1..d, recover s(0) = previous_sum - s(1), interpolate,
-        absorb the nonzero coefficients, draw r, fold.
+        Mirrors compute_sumcheck_polynomial (sumcheck.rs:174-202) up to the
+        fold: evaluate s at X=1..d, recover s(0) = previous_sum - s(1),
+        interpolate, absorb the nonzero coefficients, draw the challenge.
+        Callers that interleave FRI (the PCS) fuse the fold with the FRI
+        fold+commit into one device dispatch.
         """
         if self.on_host:
             sums = self._partial_sums_host(composition, total_degree)
         else:
-            sums_dev = _partial_sums_kernel(
-                self.matrix, self.delta, total_degree, composition
-            )
+            sums_dev = _partial_sums_kernel(self.data, total_degree, composition)
             sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
         evals = [ZERO] * (total_degree + 1)
         for i in range(1, total_degree + 1):
@@ -268,6 +283,19 @@ class SumcheckTables:
         sc_pol.absorb_into(transcript)
         r = transcript.next_challenge()
         new_sum = pol.evaluate(r)
+        return sc_pol, r, new_sum
+
+    def compute_round(
+        self,
+        composition: Composition,
+        total_degree: int,
+        previous_sum: Fp,
+        transcript: Transcript,
+    ):
+        """One full sumcheck round: round_poly + fold."""
+        sc_pol, r, new_sum = self.round_poly(
+            composition, total_degree, previous_sum, transcript
+        )
         self.fold(r)
         return sc_pol, r, new_sum
 
@@ -285,6 +313,13 @@ class SumcheckTables:
             out.append(s)
         return out
 
+    def apply_folded(self, new_data) -> None:
+        """Install an externally-folded table (from a fused round-tail
+        dispatch) and account for the halved height."""
+        self.data = new_data
+        self.height >>= 1
+        self._maybe_to_host()
+
     def fold(self, r: Fp) -> None:
         if self.on_host:
             P = _p()
@@ -301,9 +336,7 @@ class SumcheckTables:
             self.height = off
             return
         r_limbs = jnp.asarray(limbs.pack_scalar(r))
-        self.matrix, self.delta = _fold_kernel(self.matrix, self.delta, r_limbs)
-        self.height >>= 1
-        self._maybe_to_host()
+        self.apply_folded(_fold_kernel(self.data, r_limbs))
 
     # -- all rounds (standalone sumcheck) ------------------------------------
     def compute_all_rounds(

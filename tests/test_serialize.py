@@ -1,0 +1,64 @@
+"""Proof serialization round-trips (reference src/fri/mod.rs:367-397)."""
+
+import jax.numpy as jnp
+import pytest
+
+from multilinear_tpu import serialize
+from multilinear_tpu.batched_pcs import BatchedPCSClaim, BatchedPCSProof
+from multilinear_tpu.field import limbs
+from multilinear_tpu.field.scalar import Fp
+from multilinear_tpu.fri import FriProof
+from multilinear_tpu.mle import evaluate_evals_host
+from multilinear_tpu.ntt import reed_solomon
+from multilinear_tpu.pcs import PCSProof
+from multilinear_tpu.transcript import Transcript
+
+
+def test_fri_proof_roundtrip():
+    values = [Fp(i * 7 + 3) for i in range(1 << 6)]
+    code = reed_solomon(jnp.asarray(limbs.pack_ints(values)))
+    proof = FriProof.prove(code, Transcript())
+    buf = serialize.fri_proof_to_bytes(proof)
+    back = serialize.fri_proof_from_bytes(buf)
+    assert serialize.fri_proof_to_bytes(back) == buf
+    back.verify()
+    print(f"FRI proof size at 2^6: {len(buf)} bytes")
+
+
+def test_fri_proof_truncation_rejected():
+    values = [Fp(i) for i in range(1 << 5)]
+    code = reed_solomon(jnp.asarray(limbs.pack_ints(values)))
+    proof = FriProof.prove(code, Transcript())
+    buf = serialize.fri_proof_to_bytes(proof)
+    with pytest.raises(ValueError):
+        serialize.fri_proof_from_bytes(buf[:-3])
+    with pytest.raises(ValueError):
+        serialize.fri_proof_from_bytes(buf + b"\x00")
+
+
+def test_pcs_proof_roundtrip():
+    n_vars = 6
+    evals = [Fp(i * 3 + 5) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+    proof = PCSProof.prove(inputs, output, dev, Transcript())
+    buf = serialize.pcs_proof_to_bytes(proof)
+    back = serialize.pcs_proof_from_bytes(buf)
+    assert serialize.pcs_proof_to_bytes(back) == buf
+    back.verify(Transcript())
+
+
+def test_batched_pcs_proof_roundtrip():
+    n_vars = 5
+    height = 1 << n_vars
+    inputs = [Fp(i + 1) for i in range(n_vars)]
+    vals = [Fp(j * 2 + 1) for j in range(height)] + [Fp(j * j + 3) for j in range(height)]
+    polys = jnp.asarray(limbs.pack_ints(vals, shape=(2, height)))
+    outputs = [evaluate_evals_host(polys[:, i, :], inputs) for i in range(2)]
+    claim = BatchedPCSClaim(inputs=inputs, outputs=outputs)
+    proof = BatchedPCSProof.prove(claim, polys, Transcript())
+    buf = serialize.batched_pcs_proof_to_bytes(proof)
+    back = serialize.batched_pcs_proof_from_bytes(buf)
+    assert serialize.batched_pcs_proof_to_bytes(back) == buf
+    back.verify(Transcript())
