@@ -83,12 +83,12 @@ class BatchedFriProverData:
         half = n // 2
         codes_host = None
         if n <= HOST_THRESHOLD:
-            ints = limbs.unpack_ints(np.asarray(codes))  # (B, n)
-            codes_host = [[int(v) for v in ints[j]] for j in range(B)]
+            raw = limbs.to_le_bytes(np.asarray(codes))
+            codes_host = np.frombuffer(raw, dtype=np.uint8).reshape(B, n, 16).copy()
             cols = []
             for j in range(B):
-                cols.append([Fp(v) for v in codes_host[j][:half]])
-                cols.append([Fp(v) for v in codes_host[j][half:]])
+                cols.append(codes_host[j][:half])
+                cols.append(codes_host[j][half:])
             batch_tree = FieldHostTree(cols)
             codes_dev = None
         else:
@@ -109,22 +109,21 @@ class BatchedFriProverData:
         blowup = 1 << LOG_BLOWUP
         self.fri_data._log_domain = self._log_domain
         if self._codes_host is not None:
-            n = len(self._codes_host[0])
+            from . import native
+
+            n = self._codes_host.shape[1]
             if n <= blowup:
                 return
-            fr = self.fingerprint_r.v
-            rlc = [0] * n
-            for code in self._codes_host:
-                rlc = [(acc * fr + v) % P for acc, v in zip(rlc, code)]
-            self.fri_data._current_host = rlc
-            # reuse the plain host fold at k=0
-            self.fri_data._current_host = self.fri_data._fold_host(0, r)
-            nxt_host = self.fri_data._current_host
+            self.fri_data._current_host = native.fingerprint_rlc(
+                self._codes_host, self.fingerprint_r.v
+            )
+            nxt_host = self.fri_data._fold_host(0, r)
+            self.fri_data._current_host = nxt_host
             half = n // 2
             if half == blowup:
-                first = Fp(nxt_host[0])
-                if not all(v == first.v for v in nxt_host):
+                if not bool(np.all(nxt_host == nxt_host[0])):
                     raise FriError("not an RS code")
+                first = Fp(int.from_bytes(nxt_host[0].tobytes(), "little"))
                 self.fri_data.last_element = first
                 transcript.absorb(first.to_bytes())
                 return
@@ -151,14 +150,16 @@ class BatchedFriProverData:
         self.fri_data._current = nxt
         self.fri_data._maybe_to_host()
         if half == blowup:
-            vals = (
-                self.fri_data._current_host
-                if self.fri_data._current_host is not None
-                else limbs.unpack_ints(np.asarray(nxt))
-            )
-            first = Fp(int(vals[0]))
-            if not all(int(v) == first.v for v in vals):
-                raise FriError("not an RS code")
+            ch = self.fri_data._current_host
+            if ch is not None:
+                if not bool(np.all(ch == ch[0])):
+                    raise FriError("not an RS code")
+                first = Fp(int.from_bytes(ch[0].tobytes(), "little"))
+            else:
+                vals = limbs.unpack_ints(np.asarray(nxt))
+                first = Fp(int(vals[0]))
+                if not all(int(v) == first.v for v in vals):
+                    raise FriError("not an RS code")
             self.fri_data.last_element = first
             transcript.absorb(first.to_bytes())
             return

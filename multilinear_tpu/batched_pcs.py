@@ -78,14 +78,13 @@ class BatchedPCSProof:
         from .sumcheck import HOST_THRESHOLD, _host_delta_table
 
         if height <= HOST_THRESHOLD:
-            from .field.scalar import P
+            import numpy as np
 
-            ints = limbs.unpack_ints(jnp.asarray(polys))  # (B, height)
-            fr = fri_data.fingerprint_r.v
-            rlc = [0] * height
-            for j in range(B):
-                row = ints[j]
-                rlc = [(acc * fr + int(v)) % P for acc, v in zip(rlc, row)]
+            from . import native
+
+            raw = limbs.to_le_bytes(np.asarray(polys))
+            polys_bytes = np.frombuffer(raw, dtype=np.uint8).reshape(B, height, 16)
+            rlc = native.fingerprint_rlc(polys_bytes, fri_data.fingerprint_r.v)
             tables = SumcheckTables._host_from_ints(
                 [rlc], _host_delta_table(claim.inputs), 1, height
             )

@@ -85,19 +85,18 @@ def _fold_and_commit(code, twiddles, r_limbs, half_limbs):
     return nxt, pairs, layers
 
 
-def _host_commit_code(code_ints: List[int]) -> FieldHostTree:
-    half = len(code_ints) // 2
-    return FieldHostTree(
-        [[Fp(v) for v in code_ints[:half]], [Fp(v) for v in code_ints[half:]]]
-    )
+def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
+    half = code_bytes.shape[0] // 2
+    return FieldHostTree([code_bytes[:half], code_bytes[half:]])
 
 
 class FriProverData:
     """Prover state: one codeword + Merkle tree per fold layer.
 
     The codeword lives on device while large (fused fold kernel +
-    lane-parallel hashing) and moves to host exact ints once it shrinks
-    below HOST_THRESHOLD.
+    lane-parallel hashing) and moves to the host - as an (n, 16) LE byte
+    array driven through the native runtime - once it shrinks below
+    HOST_THRESHOLD.
     """
 
     def __init__(self):
@@ -105,11 +104,12 @@ class FriProverData:
         self.last_element: Optional[Fp] = None
         self._log_domain: int = 0
         self._current = None  # device (8, m) array
-        self._current_host: Optional[List[int]] = None
+        self._current_host: Optional[np.ndarray] = None  # (m, 16) uint8
 
     def _maybe_to_host(self) -> None:
         if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD:
-            self._current_host = [int(v) for v in limbs.unpack_ints(np.asarray(self._current))]
+            raw = limbs.to_le_bytes(np.asarray(self._current))
+            self._current_host = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16).copy()
             self._current = None
 
     @staticmethod
@@ -129,20 +129,12 @@ class FriProverData:
         transcript.absorb(tree.root_bytes())
         return data
 
-    def _fold_host(self, k: int, r: Fp) -> List[int]:
-        cur = self._current_host
-        half = len(cur) // 2
+    def _fold_host(self, k: int, r: Fp) -> np.ndarray:
+        from . import native
+
         inv_gen = pow2_generator(self._log_domain).inv().v
         step = pow(inv_gen, 1 << k, P)
-        inv2 = TWO_INV.v
-        rv = r.v
-        out = []
-        tw = 1
-        for i in range(half):
-            a, b = cur[i], cur[i + half]
-            out.append(((a + b) + rv * ((a - b) * tw % P)) % P * inv2 % P)
-            tw = tw * step % P
-        return out
+        return native.fri_fold(self._current_host, r.v, step)
 
     def fold_step(self, k: int, r: Fp, transcript: Transcript) -> None:
         """Fold the current codeword with challenge r; commit or finish.
@@ -153,16 +145,16 @@ class FriProverData:
         """
         blowup = 1 << LOG_BLOWUP
         if self._current_host is not None:
-            m = len(self._current_host)
+            m = self._current_host.shape[0]
             if m <= blowup:
                 return
             nxt_host = self._fold_host(k, r)
             self._current_host = nxt_host
             half = m // 2
             if half == blowup:
-                first = Fp(nxt_host[0])
-                if not all(v == first.v for v in nxt_host):
+                if not bool(np.all(nxt_host == nxt_host[0])):
                     raise FriError("not an RS code")
+                first = Fp(int.from_bytes(nxt_host[0].tobytes(), "little"))
                 self.last_element = first
                 transcript.absorb(first.to_bytes())
                 return
@@ -192,10 +184,16 @@ class FriProverData:
         self._current = nxt
         self._maybe_to_host()
         if half == blowup:
-            vals = limbs.unpack_ints(np.asarray(nxt)) if self._current_host is None else self._current_host
-            first = Fp(int(vals[0]))
-            if not all(int(v) == first.v for v in vals):
-                raise FriError("not an RS code")
+            if self._current_host is not None:
+                ch = self._current_host
+                if not bool(np.all(ch == ch[0])):
+                    raise FriError("not an RS code")
+                first = Fp(int.from_bytes(ch[0].tobytes(), "little"))
+            else:
+                vals = limbs.unpack_ints(np.asarray(nxt))
+                first = Fp(int(vals[0]))
+                if not all(int(v) == first.v for v in vals):
+                    raise FriError("not an RS code")
             self.last_element = first
             transcript.absorb(first.to_bytes())
             return

@@ -166,51 +166,51 @@ class MerklePath:
         return b"".join(v.to_bytes() for v in self.values)
 
     def verify(self, root: bytes, index: int) -> bool:
-        h = hashlib.sha256(self.leaf_bytes()).digest()
-        computed_index = 0
-        for i, (sib, direction) in enumerate(self.path):
-            if direction == LEFT:
-                computed_index += 1 << i
-                h = hashlib.sha256(sib + h).digest()
-            else:
-                h = hashlib.sha256(h + sib).digest()
-        return h == root and computed_index == index
+        from . import native
+
+        ok, computed_index = native.merkle_verify(
+            self.leaf_bytes(),
+            [sib for sib, _ in self.path],
+            [d for _, d in self.path],
+            root,
+        )
+        return ok and computed_index == index
 
 
 class FieldHostTree:
-    """Host (hashlib) tree over field-element column leaves.
+    """Host tree over field-element column leaves (native SHA-256 core).
 
     Same API as :class:`MerkleTree` (root_bytes / num_leaves / open_batch /
     open) so protocol drivers can switch to the host path once folded
     arrays are small - the tail layers of FRI are tiny and a device
     round-trip per layer costs more than hashing a few thousand leaves on
-    the host.
+    the host.  ``columns``: B arrays of (n, 16) LE field bytes (or lists of
+    Fp, converted); leaf i = H(col_0[i] || col_1[i] || ...).
     """
 
-    def __init__(self, columns: List[List[Fp]]):
-        """columns: B lists of n field elements; leaf i = H(col_0[i] || ...)."""
-        n = len(columns[0])
+    def __init__(self, columns):
+        from . import native
+
+        cols = []
+        for c in columns:
+            if isinstance(c, np.ndarray):
+                cols.append(np.ascontiguousarray(c, dtype=np.uint8))
+            else:
+                cols.append(native.ints_to_bytes_arr([Fp(v).v for v in c]))
+        n = cols[0].shape[0]
         assert n & (n - 1) == 0 and n > 0, "leaf count must be a power of two"
-        assert all(len(c) == n for c in columns)
-        self.columns = columns
-        leaves = [
-            hashlib.sha256(b"".join(c[i].to_bytes() for c in columns)).digest()
-            for i in range(n)
-        ]
-        layers = [leaves]
-        while len(layers[-1]) > 1:
-            prev = layers[-1]
-            layers.append(
-                [hashlib.sha256(prev[i] + prev[i + 1]).digest() for i in range(0, len(prev), 2)]
-            )
-        self.layers = layers
+        assert all(c.shape == (n, 16) for c in cols)
+        self.columns = cols
+        msgs = np.concatenate(cols, axis=1)  # (n, 16*B)
+        leaves = native.sha256_many(msgs)
+        self.layers = native.merkle_layers(leaves)
 
     @property
     def num_leaves(self) -> int:
-        return len(self.layers[0])
+        return self.layers[0].shape[0]
 
     def root_bytes(self) -> bytes:
-        return self.layers[-1][0]
+        return self.layers[-1][0].tobytes()
 
     def open_batch(self, indices: Sequence[int]) -> List["MerklePath"]:
         return [self.open(i) for i in indices]
@@ -220,9 +220,9 @@ class FieldHostTree:
         cur = index
         for layer in self.layers[:-1]:
             sib = cur ^ 1
-            path.append((layer[sib], RIGHT if cur % 2 == 0 else LEFT))
+            path.append((layer[sib].tobytes(), RIGHT if cur % 2 == 0 else LEFT))
             cur //= 2
-        values = [c[index] for c in self.columns]
+        values = [Fp(int.from_bytes(c[index].tobytes(), "little")) for c in self.columns]
         return MerklePath(values, path)
 
 

@@ -195,19 +195,26 @@ class SumcheckTables:
     def _maybe_to_host(self) -> None:
         if self.host_matrix is not None or self.height > HOST_THRESHOLD:
             return
-        m = limbs.unpack_ints(np.asarray(self.data))  # (w+1, h) object ints
-        self.host_matrix = [[int(v) for v in m[j]] for j in range(self.width)]
-        self.host_delta = [int(v) for v in m[self.width]]
+        raw = limbs.to_le_bytes(np.asarray(self.data))
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(self.width + 1, self.height, 16)
+        self.host_matrix = [arr[j].copy() for j in range(self.width)]
+        self.host_delta = arr[self.width].copy()
         self.data = None
 
     @staticmethod
     def _host_from_ints(matrix_cols, delta_ints, width, height) -> "SumcheckTables":
+        """Host-mode tables from per-column int lists (or (h,16) byte arrays)."""
+        from . import native
+
+        def conv(c):
+            return c if isinstance(c, np.ndarray) else native.ints_to_bytes_arr(c)
+
         t = SumcheckTables.__new__(SumcheckTables)
         t.data = None
         t.width = width
         t.height = height
-        t.host_matrix = matrix_cols
-        t.host_delta = delta_ints
+        t.host_matrix = [conv(c) for c in matrix_cols]
+        t.host_delta = conv(delta_ints)
         return t
 
     @staticmethod
@@ -300,9 +307,16 @@ class SumcheckTables:
         return sc_pol, r, new_sum
 
     def _partial_sums_host(self, composition: Composition, total_degree: int):
+        from . import native
+
+        if composition is identity_composition and self.width == 1:
+            return native.pcs_partial_sums(
+                self.host_matrix[0], self.host_delta, total_degree
+            )
         P = _p()
         off = self.height >> 1
-        m, d = self.host_matrix, self.host_delta
+        m = [native.bytes_arr_to_ints(c) for c in self.host_matrix]
+        d = native.bytes_arr_to_ints(self.host_delta)
         out = []
         for x in range(1, total_degree + 1):
             s = 0
@@ -322,16 +336,15 @@ class SumcheckTables:
 
     def fold(self, r: Fp) -> None:
         if self.on_host:
-            P = _p()
+            from . import native
+
             rv = r.v
             off = self.height >> 1
-            self.host_delta = [
-                (lo + rv * (hi - lo)) % P
-                for lo, hi in zip(self.host_delta[:off], self.host_delta[off:])
-            ]
+            self.host_delta = native.fold(
+                self.host_delta[:off], self.host_delta[off:], rv
+            )
             self.host_matrix = [
-                [(lo + rv * (hi - lo)) % P for lo, hi in zip(c[:off], c[off:])]
-                for c in self.host_matrix
+                native.fold(c[:off], c[off:], rv) for c in self.host_matrix
             ]
             self.height = off
             return

@@ -1,0 +1,106 @@
+"""Native host runtime (native/mlt_native.cpp) parity vs exact Python."""
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from multilinear_tpu import native
+from multilinear_tpu.field.scalar import P, TWO_INV
+
+rng = random.Random(41)
+
+
+def _rand(n):
+    return [rng.randrange(P) for _ in range(n)]
+
+
+def test_bytes_roundtrip():
+    vals = _rand(33)
+    arr = native.ints_to_bytes_arr(vals)
+    assert native.bytes_arr_to_ints(arr) == vals
+
+
+def test_fold_parity():
+    lo, hi = _rand(64), _rand(64)
+    r = rng.randrange(P)
+    got = native.bytes_arr_to_ints(
+        native.fold(native.ints_to_bytes_arr(lo), native.ints_to_bytes_arr(hi), r)
+    )
+    assert got == [(l + r * (h - l)) % P for l, h in zip(lo, hi)]
+
+
+def test_fri_fold_parity():
+    code = _rand(64)
+    r, step = rng.randrange(P), rng.randrange(1, P)
+    got = native.bytes_arr_to_ints(
+        native.fri_fold(native.ints_to_bytes_arr(code), r, step)
+    )
+    inv2, tw, want = TWO_INV.v, 1, []
+    for i in range(32):
+        a, b = code[i], code[i + 32]
+        want.append(((a + b) + r * ((a - b) * tw % P)) % P * inv2 % P)
+        tw = tw * step % P
+    assert got == want
+
+
+def test_pcs_partial_sums_parity():
+    m, d = _rand(32), _rand(32)
+    got = native.pcs_partial_sums(
+        native.ints_to_bytes_arr(m), native.ints_to_bytes_arr(d), 2
+    )
+    off = 16
+    want = []
+    for x in (1, 2):
+        s = 0
+        for i in range(off):
+            mx = (m[i] + x * (m[i + off] - m[i])) % P
+            dx = (d[i] + x * (d[i + off] - d[i])) % P
+            s = (s + mx * dx) % P
+        want.append(s)
+    assert got == want
+
+
+def test_fingerprint_parity():
+    vecs = np.stack([native.ints_to_bytes_arr(_rand(9)) for _ in range(4)])
+    r = rng.randrange(P)
+    got = native.bytes_arr_to_ints(native.fingerprint_rlc(vecs, r))
+    cols = [native.bytes_arr_to_ints(vecs[j]) for j in range(4)]
+    want = []
+    for i in range(9):
+        acc = 0
+        for j in range(4):
+            acc = (acc * r + cols[j][i]) % P
+        want.append(acc)
+    assert got == want
+
+
+def test_sha_and_merkle_parity():
+    msgs = np.frombuffer(
+        bytes(rng.randrange(256) for _ in range(8 * 48)), dtype=np.uint8
+    ).reshape(8, 48).copy()
+    d = native.sha256_many(msgs)
+    for i in range(8):
+        assert d[i].tobytes() == hashlib.sha256(msgs[i].tobytes()).digest()
+    layers = native.merkle_layers(d)
+    assert len(layers) == 4 and layers[-1].shape[0] == 1
+    # recompute root with hashlib
+    cur = [d[i].tobytes() for i in range(8)]
+    while len(cur) > 1:
+        cur = [hashlib.sha256(cur[i] + cur[i + 1]).digest() for i in range(0, len(cur), 2)]
+    assert layers[-1][0].tobytes() == cur[0]
+
+
+def test_merkle_verify_parity():
+    leaf = b"hello merkle"
+    sibs = [bytes([i] * 32) for i in range(3)]
+    dirs = [0, 1, 0]
+    h = hashlib.sha256(leaf).digest()
+    h = hashlib.sha256(h + sibs[0]).digest()
+    h = hashlib.sha256(sibs[1] + h).digest()
+    h = hashlib.sha256(h + sibs[2]).digest()
+    ok, idx = native.merkle_verify(leaf, sibs, dirs, h)
+    assert ok and idx == 2
+    ok, _ = native.merkle_verify(leaf, sibs, dirs, bytes(32))
+    assert not ok
