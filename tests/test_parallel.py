@@ -1,0 +1,85 @@
+"""Multi-chip sharding: 8-device CPU mesh stands in for a TPU slice.
+
+Validates that the prover kernels compile AND produce bit-identical
+results under hypercube-axis sharding (GSPMD inserts psum/ppermute), and
+that a full PCS proof over sharded inputs matches the single-device proof
+byte for byte.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multilinear_tpu.field import limbs, ops
+from multilinear_tpu.field.scalar import Fp
+from multilinear_tpu.mle import evaluate_evals_host
+from multilinear_tpu.parallel import hypercube_sharding, make_mesh, replicated, shard_hypercube
+from multilinear_tpu.parallel.step import pcs_prover_round
+from multilinear_tpu.pcs import PCSProof
+from multilinear_tpu.serialize import pcs_proof_to_bytes
+from multilinear_tpu.transcript import Transcript
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(jax.devices()[:8])
+
+
+def test_sharded_sum_matches(mesh):
+    vals = [(i * 7 + 3) for i in range(1 << 10)]
+    arr = jnp.asarray(limbs.pack_ints(vals))
+    want = np.asarray(ops.sum_mod(arr, axis=1))
+    sharded = shard_hypercube(arr, mesh)
+    got = np.asarray(ops.sum_mod(sharded, axis=1))
+    assert (want == got).all()
+
+
+def test_sharded_prover_round_matches(mesh):
+    import __graft_entry__ as ge
+
+    data, code, tw, r, half = ge._example_arrays(10)
+    want = jax.block_until_ready(pcs_prover_round(data, code, tw, r, half))
+
+    shard3 = hypercube_sharding(mesh, 3)
+    shard2 = hypercube_sharding(mesh, 2)
+    rep = replicated(mesh)
+    jitted = jax.jit(
+        pcs_prover_round, in_shardings=(shard3, shard2, shard2, rep, rep)
+    )
+    got = jax.block_until_ready(
+        jitted(
+            jax.device_put(data, shard3),
+            jax.device_put(code, shard2),
+            jax.device_put(tw, shard2),
+            jax.device_put(r, rep),
+            jax.device_put(half, rep),
+        )
+    )
+    for w, g in zip(want, got):
+        assert (np.asarray(w) == np.asarray(g)).all()
+
+
+def test_full_pcs_proof_identical_under_sharding(mesh):
+    """End-to-end: proving from sharded inputs yields byte-identical proofs."""
+    n_vars = 9
+    evals_host = [Fp(i * 5 + 11) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals_host))
+    inputs = [Fp(i + 1) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    proof_plain = PCSProof.prove(inputs, output, dev, Transcript())
+    sharded = shard_hypercube(dev, mesh)
+    proof_sharded = PCSProof.prove(inputs, output, sharded, Transcript())
+    assert pcs_proof_to_bytes(proof_plain) == pcs_proof_to_bytes(proof_sharded)
+    proof_sharded.verify(Transcript())
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8)
