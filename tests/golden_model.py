@@ -237,6 +237,84 @@ def felt_bytes(x: int) -> bytes:
     return int(x % P).to_bytes(16, "little")
 
 
+def pcs_prove(inputs, evals, transcript, log_blowup=1, num_queries=128):
+    """Golden multilinear PCS prover: the full interleaved sumcheck<->FRI
+    transcript (reference src/fri/multilinear_pcs.rs:89-136).
+
+    Returns (roots, sumcheck_pols, last_elem, query_indices, final_state).
+    """
+    n_vars = len(inputs)
+    n = len(evals)
+    assert n == 1 << n_vars
+    coeffs = bit_reverse_list(mle_to_coeffs(evals))
+    code = reed_solomon(coeffs, log_blowup)
+    m = len(code)
+    log_domain = m.bit_length() - 1
+    gen = pow2_gen(log_domain)
+    inv_gen = pow(gen, P - 2, P)
+
+    # init: commit layer 0
+    pairs = [felt_bytes(code[i]) + felt_bytes(code[i + m // 2]) for i in range(m // 2)]
+    tree = merkle_layers(pairs)
+    roots = [tree[-1][0]]
+    transcript.absorb(tree[-1][0])
+
+    delta = [mask_eval(i, n_vars, inputs) for i in range(n)]
+    matrix = list(evals)
+    prev = mle_eval(evals, inputs)
+    cur_code = code
+    pols = []
+    last_elem = None
+    for k in range(n_vars):
+        # round poly at X=1,2 (identity composition, total degree 2)
+        off = len(matrix) // 2
+        e = [0, 0, 0]
+        for x in (1, 2):
+            s = 0
+            for i in range(off):
+                mx = (matrix[i] + x * (matrix[i + off] - matrix[i])) % P
+                dx = (delta[i] + x * (delta[i + off] - delta[i])) % P
+                s = (s + mx * dx) % P
+            e[x] = s
+        e[0] = (prev - e[1]) % P
+        cs = interpolate(e)
+        nonzero = cs[1:]
+        for c in nonzero:
+            transcript.absorb_felt(c)
+        pols.append(nonzero)
+        r = transcript.challenge()
+        prev = poly_eval(cs, r)
+        matrix = [(matrix[i] + r * (matrix[i + off] - matrix[i])) % P for i in range(off)]
+        delta = [(delta[i] + r * (delta[i + off] - delta[i])) % P for i in range(off)]
+        # FRI fold with the SAME r
+        half = len(cur_code) // 2
+        nxt = []
+        for i in range(half):
+            a, b = cur_code[i], cur_code[i + half]
+            tw = pow(inv_gen, i * (1 << k), P)
+            nxt.append(((a + b) + r * ((a - b) * tw % P)) % P * INV2 % P)
+        cur_code = nxt
+        if half == (1 << log_blowup):
+            assert all(v == cur_code[0] for v in cur_code)
+            last_elem = cur_code[0]
+            transcript.absorb(felt_bytes(last_elem))
+        else:
+            pairs = [
+                felt_bytes(cur_code[i]) + felt_bytes(cur_code[i + half // 2])
+                for i in range(half // 2)
+            ]
+            tree = merkle_layers(pairs)
+            roots.append(tree[-1][0])
+            transcript.absorb(tree[-1][0])
+
+    indices = []
+    for _ in range(num_queries):
+        idx = transcript.rand_index(m // 2)
+        indices.append(idx)
+        transcript.absorb(idx.to_bytes(8, "little"))
+    return roots, pols, last_elem, indices, transcript.state()
+
+
 def fri_prove(code, transcript, log_blowup=1, num_queries=128):
     """Golden FRI prover: returns (roots, last_elem, query data, last_random)."""
     n = len(code)

@@ -121,6 +121,31 @@ def test_pcs_rejects_wrong_output():
         proof.verify(Transcript())
 
 
+def test_pcs_full_transcript_matches_golden():
+    """The ENTIRE PCS proof transcript - roots, round polys, last element,
+    query indices, final transcript state - matches the scalar golden model
+    bit for bit."""
+    n_vars = 6
+    evals = [Fp(i * 11 + 2) for i in range(1 << n_vars)]
+    dev = _device_poly(evals)
+    inputs = [Fp(i + 3) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    transcript = Transcript()
+    proof = PCSProof.prove(inputs, output, dev, transcript)
+
+    gt = gm.GoldenTranscript()
+    roots, pols, last_elem, indices, final_state = gm.pcs_prove(
+        [i.v for i in inputs], [e.v for e in evals], gt
+    )
+
+    assert proof.fri_proof.commitments == roots
+    assert [[c.v for c in p.nonzero_coeffs] for p in proof.sumcheck_polynomials] == pols
+    assert proof.fri_proof.last_elem.v == last_elem
+    assert proof.fri_proof.last_random == final_state
+    assert transcript.random() == final_state
+
+
 def test_pcs_golden_code_alignment():
     """The committed codeword equals RS(bit_reverse(moebius(evals))) computed
     by the scalar model - pinning quirk Q8's coefficient bit-reversal."""
