@@ -9,3 +9,24 @@ system under a Fiat-Shamir transcript.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "batched_fri",
+    "batched_pcs",
+    "config",
+    "field",
+    "fri",
+    "merkle",
+    "mle",
+    "native",
+    "ntt",
+    "parallel",
+    "pcs",
+    "poly",
+    "serialize",
+    "sha256",
+    "sumcheck",
+    "system",
+    "transcript",
+    "utils",
+]

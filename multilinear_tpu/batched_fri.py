@@ -82,7 +82,7 @@ class BatchedFriProverData:
         assert n & (n - 1) == 0, "code size must be a power of two"
         half = n // 2
         codes_host = None
-        if n <= HOST_THRESHOLD:
+        if n <= HOST_THRESHOLD():
             raw = limbs.to_le_bytes(np.asarray(codes))
             codes_host = np.frombuffer(raw, dtype=np.uint8).reshape(B, n, 16).copy()
             cols = []

@@ -77,7 +77,7 @@ class BatchedPCSProof:
         # eval-wise Horner RLC of the B MLEs into one sumcheck polynomial
         from .sumcheck import HOST_THRESHOLD, _host_delta_table
 
-        if height <= HOST_THRESHOLD:
+        if height <= HOST_THRESHOLD():
             import numpy as np
 
             from . import native

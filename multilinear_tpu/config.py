@@ -1,0 +1,39 @@
+"""Runtime configuration for the proving stack.
+
+The reference hard-codes ``LOG_BLOWUP = 1`` and ``NUM_QUERIES = 128``
+(reference src/fri/mod.rs:16-17) and has no other knobs; those defaults are
+preserved here - changing them changes the proof format and transcript.
+The TPU build adds the host/device crossover threshold and mesh shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class ProverConfig:
+    # Below this table/codeword length the prover folds on the host
+    # (native C++ runtime); purely a performance knob - transcripts are
+    # identical either way.
+    host_threshold: int = 1 << 12
+    # mesh: None = single device; otherwise the number of devices to span
+    mesh_devices: Optional[int] = None
+
+    # NOTE: the protocol parameters LOG_BLOWUP (ntt.py) and NUM_QUERIES
+    # (fri.py) are module constants, not config: changing them changes the
+    # proof format and breaks reference-transcript parity, so they are
+    # deliberately not runtime-tunable.
+
+
+_config = ProverConfig()
+
+
+def get_config() -> ProverConfig:
+    return _config
+
+
+def set_config(cfg: ProverConfig) -> None:
+    global _config
+    _config = cfg

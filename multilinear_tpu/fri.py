@@ -36,8 +36,12 @@ NUM_QUERIES = 128  # reference src/fri/mod.rs:17
 
 # Codewords at or below this length fold and hash on the host: the tail
 # layers are tiny and a per-layer device round-trip + per-shape compile
-# costs more than a few thousand host multiplies/hashes.
-HOST_THRESHOLD = 1 << 12
+# costs more than a few thousand host multiplies/hashes.  Tunable via
+# config.ProverConfig.host_threshold.
+def HOST_THRESHOLD():
+    from .config import get_config
+
+    return get_config().host_threshold
 
 
 class FriError(Exception):
@@ -107,7 +111,7 @@ class FriProverData:
         self._current_host: Optional[np.ndarray] = None  # (m, 16) uint8
 
     def _maybe_to_host(self) -> None:
-        if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD:
+        if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD():
             raw = limbs.to_le_bytes(np.asarray(self._current))
             self._current_host = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16).copy()
             self._current = None
@@ -172,7 +176,7 @@ class FriProverData:
         tw = inv_pows[:, :: 1 << k][:, :half]
         r_limbs = jnp.asarray(limbs.pack_scalar(r))
         half_limbs = jnp.asarray(limbs.pack_scalar(TWO_INV))
-        if half > HOST_THRESHOLD and half > blowup:
+        if half > HOST_THRESHOLD() and half > blowup:
             # fused fold + full Merkle commit: one device dispatch per round
             nxt, pairs, layers = _fold_and_commit(code, tw, r_limbs, half_limbs)
             self._current = nxt

@@ -194,6 +194,59 @@ def mask_scalar(index: int, n_vars: int, points):
     return acc
 
 
+class MultilinearPolynomial:
+    """Coefficient-form MLE wrapper (reference src/polynomials.rs:100-147).
+
+    Thin object API over the functional kernels; ``data`` is the (8, 2^n)
+    device limb array.
+    """
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        if not hasattr(data, "shape"):
+            data = jnp.asarray(limbs.pack_ints([Fp(v).v for v in data]))
+        self.data = data
+
+    @property
+    def n_vars(self) -> int:
+        return self.data.shape[-1].bit_length() - 1
+
+    def to_evaluation(self) -> "MultilinearPolynomialEvals":
+        return MultilinearPolynomialEvals(to_evals(self.data))
+
+    def evaluate(self, args) -> Fp:
+        out = evaluate_coeffs(self.data, args)
+        return Fp(limbs.unpack_int(np.asarray(out)))
+
+    def coefficients(self):
+        return [Fp(int(v)) for v in limbs.unpack_ints(np.asarray(self.data))]
+
+
+class MultilinearPolynomialEvals:
+    """Evaluation-form MLE wrapper (reference src/polynomials.rs:149-188)."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        if not hasattr(data, "shape"):
+            data = jnp.asarray(limbs.pack_ints([Fp(v).v for v in data]))
+        self.data = data
+
+    @property
+    def n_vars(self) -> int:
+        return self.data.shape[-1].bit_length() - 1
+
+    def to_coefficient(self) -> "MultilinearPolynomial":
+        return MultilinearPolynomial(to_coeffs(self.data))
+
+    def evaluate(self, args) -> Fp:
+        return evaluate_evals_host(self.data, args)
+
+    def evaluations(self):
+        return [Fp(int(v)) for v in limbs.unpack_ints(np.asarray(self.data))]
+
+
 @lru_cache(maxsize=64)
 def _bitrev_indices(n: int) -> np.ndarray:
     bits = n.bit_length() - 1

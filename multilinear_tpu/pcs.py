@@ -66,7 +66,7 @@ def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: F
     if not tables.on_host and fri_data._current_host is None:
         m = fri_data._current.shape[-1]
         half = m // 2
-        if half > blowup and half > HOST_THRESHOLD:
+        if half > blowup and half > HOST_THRESHOLD():
             inv_pows = inv_gen_pows(fri_data._log_domain)
             tw = inv_pows[:, :: 1 << k][:, :half]
             new_data, nxt, pairs, layers = _pcs_round_tail(

@@ -153,11 +153,15 @@ def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
 
 
 # Below this height the tables move to the host and rounds run as exact
-# integer arithmetic: the tail rounds of a proof are tiny, and a device
-# kernel launch + fresh XLA compile per halved shape costs far more than
-# a few thousand bigint multiplies.  The big rounds (where the FLOPs are)
-# stay on device.
-HOST_THRESHOLD = 1 << 12
+# integer arithmetic via the native runtime: the tail rounds of a proof are
+# tiny, and a device kernel launch + fresh XLA compile per halved shape
+# costs far more than a few thousand host multiplies.  The big rounds
+# (where the FLOPs are) stay on device.  Tunable via
+# config.ProverConfig.host_threshold.
+def HOST_THRESHOLD() -> int:
+    from .config import get_config
+
+    return get_config().host_threshold
 
 _P_INT = None
 
@@ -193,7 +197,7 @@ class SumcheckTables:
         return self.host_matrix is not None
 
     def _maybe_to_host(self) -> None:
-        if self.host_matrix is not None or self.height > HOST_THRESHOLD:
+        if self.host_matrix is not None or self.height > HOST_THRESHOLD():
             return
         raw = limbs.to_le_bytes(np.asarray(self.data))
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(self.width + 1, self.height, 16)
@@ -229,7 +233,7 @@ class SumcheckTables:
         height = evals.shape[-1]
         n_vars = len(inputs)
         assert 1 << n_vars == height
-        if height <= HOST_THRESHOLD:
+        if height <= HOST_THRESHOLD():
             col = [int(v) for v in limbs.unpack_ints(np.asarray(evals))]
             return SumcheckTables._host_from_ints(
                 [col], _host_delta_table(inputs), 1, height
@@ -250,7 +254,7 @@ class SumcheckTables:
         """
         _, width, height = trace_columns.shape
         assert 1 << len(row_challenges) == height
-        if height <= HOST_THRESHOLD:
+        if height <= HOST_THRESHOLD():
             m = limbs.unpack_ints(np.asarray(trace_columns))
             cols = [[int(v) for v in m[j]] for j in range(width)]
             return SumcheckTables._host_from_ints(

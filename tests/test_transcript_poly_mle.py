@@ -124,3 +124,39 @@ def test_bit_reverse():
     x = jnp.asarray(limbs.pack_ints(list(range(8))))
     got = list(limbs.unpack_ints(np.asarray(mle.bit_reverse(x))))
     assert got == [0, 4, 2, 6, 1, 5, 3, 7]
+
+
+def test_mle_wrapper_classes():
+    """Reference-style object API: to_evaluation/to_coefficient round-trip."""
+    from multilinear_tpu.mle import MultilinearPolynomial, MultilinearPolynomialEvals
+    from multilinear_tpu.field.scalar import Fp
+
+    coeffs = [Fp(i * 3 + 1) for i in range(16)]
+    p = MultilinearPolynomial(coeffs)
+    e = p.to_evaluation()
+    back = e.to_coefficient()
+    assert back.coefficients() == coeffs
+    args = [Fp(7), Fp(11), Fp(13), Fp(17)]
+    assert p.evaluate(args) == e.evaluate(args)
+
+
+def test_config_host_threshold_is_live():
+    """Setting host_threshold actually changes the host/device crossover."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.sumcheck import SumcheckTables
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.field import limbs
+    import jax.numpy as jnp
+
+    evals = jnp.asarray(limbs.pack_ints([Fp(i) for i in range(1 << 5)]))
+    inputs = [Fp(i + 1) for i in range(5)]
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1))
+        t = SumcheckTables.for_pcs(inputs, evals)
+        assert not t.on_host
+        set_config(ProverConfig(host_threshold=1 << 12))
+        t2 = SumcheckTables.for_pcs(inputs, evals)
+        assert t2.on_host
+    finally:
+        set_config(old)
