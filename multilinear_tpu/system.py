@@ -229,3 +229,48 @@ class System:
         composition = self.evaluate_composition(list(output))
         if delta * composition != final:
             raise AssertionError("Does not match polynomial evaluation")
+
+    # -- end-to-end SNARK (sumcheck + PCS) -------------------------------------
+    def prove_snark(self, transcript: Transcript, sum_value: Fp = None) -> "SnarkProof":
+        """Full proof: sumcheck over the composed constraints, then a PCS
+        opening of the trace columns at the sumcheck point.
+
+        Width-1 traces use the plain PCS - the exact reference snark_test
+        flow (src/fri/multilinear_pcs.rs:279-316).  Multi-column traces use
+        the batched PCS with the shared sumcheck point, which the reference
+        describes as the intended tool but never wires up (SURVEY.md 3.4);
+        this is a capability EXTENSION with its own transcript schedule.
+        """
+        from .pcs import PCSProof
+
+        assert self.trace is not None
+        sum_value = Fp(0) if sum_value is None else sum_value
+        tables = self.build_tables()
+        pols, randoms = self.compute_sumcheck_polynomials(transcript, tables, sum_value)
+        outputs = self.trace.evaluate(randoms)
+        cols = self.trace.columns_device()
+        if self.trace.width == 1:
+            pcs = PCSProof.prove(randoms, outputs[0], cols[:, 0, :], transcript)
+        else:
+            from .batched_pcs import BatchedPCSClaim, BatchedPCSProof
+
+            claim = BatchedPCSClaim(inputs=list(randoms), outputs=list(outputs))
+            pcs = BatchedPCSProof.prove(claim, cols, transcript)
+        return SnarkProof(pols, list(outputs), pcs, sum_value)
+
+    def verify_snark(self, transcript: Transcript, proof: "SnarkProof") -> None:
+        """Verify a :class:`SnarkProof` (sumcheck replay + PCS verify)."""
+        self.verify_with_evaluations(
+            transcript, proof.sumcheck_polynomials, proof.sum_value, proof.outputs
+        )
+        proof.pcs.verify(transcript)
+
+
+class SnarkProof:
+    """Sumcheck round polynomials + claimed column evaluations + PCS proof."""
+
+    def __init__(self, sumcheck_polynomials, outputs, pcs, sum_value: Fp):
+        self.sumcheck_polynomials = sumcheck_polynomials
+        self.outputs = outputs
+        self.pcs = pcs
+        self.sum_value = sum_value

@@ -132,3 +132,55 @@ def test_snark_end_to_end():
     )
     verifier.verify_with_evaluations(verifier_transcript, pols, Fp(0), [pcs_proof.output])
     pcs_proof.verify(verifier_transcript)
+
+
+def test_snark_driver_width1():
+    """System.prove_snark / verify_snark convenience on a width-1 trace."""
+    rows = [3, 5, 8, 7, 20, 12, 9, 28, 11, 16, 33, 48, 13, 36, 39, 65] * 8
+    trace = Trace(rows, 1)
+    constraints = ConstraintSet(constraints=[lambda v, r: Fp(0)], degree=1)
+    layout = WitnessLayout(columns=1)
+
+    pt = Transcript()
+    prover = System.prover(pt, constraints, layout, trace)
+    proof = prover.prove_snark(pt)
+
+    vt = Transcript()
+    verifier = System.verifier(vt, constraints, layout, Commitment(), 7)
+    verifier.verify_snark(vt, proof)
+
+
+def test_snark_driver_multicolumn():
+    """EXTENSION beyond the reference: a multi-column trace proved end to
+    end via sumcheck + batched PCS at the shared sumcheck point."""
+    base = [
+        3, 4, 5, 7, 5, 12, 13, 17, 8, 15, 17, 23, 7, 24, 25, 31,
+        20, 21, 29, 41, 12, 35, 37, 47, 9, 40, 41, 49, 28, 45, 53, 73,
+        11, 60, 61, 71, 16, 63, 65, 79, 33, 56, 65, 89, 48, 55, 73, 103,
+        13, 84, 85, 97, 36, 77, 85, 113, 39, 80, 89, 119, 65, 72, 97, 137,
+    ]
+    rows = base * 4  # 64 rows x 4 columns
+    trace = Trace(rows, 4)
+    constraints = ConstraintSet(
+        constraints=[
+            lambda v, r: v[0] * v[0] + v[1] * v[1] - v[2] * v[2],
+            lambda v, r: v[0] + v[1] - v[3],
+        ],
+        degree=2,
+    )
+    layout = WitnessLayout(columns=4)
+
+    pt = Transcript()
+    prover = System.prover(pt, constraints, layout, trace)
+    proof = prover.prove_snark(pt)
+
+    vt = Transcript()
+    verifier = System.verifier(vt, constraints, layout, Commitment(), 6)
+    verifier.verify_snark(vt, proof)
+
+    # corrupting a claimed output must fail
+    vt2 = Transcript()
+    verifier2 = System.verifier(vt2, constraints, layout, Commitment(), 6)
+    proof.outputs[1] = proof.outputs[1] + Fp(1)
+    with pytest.raises((AssertionError, FriError)):
+        verifier2.verify_snark(vt2, proof)
