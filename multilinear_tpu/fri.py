@@ -224,18 +224,31 @@ class FriProverData:
         return [t.root_bytes() for t in self.trees]
 
     def open_queries(self, indices: Sequence[int]) -> List["QueryProof"]:
-        """Open many query indices at once: one batched gather per layer.
+        """Open many query indices at once: all device trees' gathers run
+        in ONE dispatch, host trees open locally.
 
         Per-query index halves each layer (reference open_query_at,
         src/fri/mod.rs:154-174: current_index %= current_n after halving).
         """
-        per_layer_paths = []
+        idx_per_tree = []
         cur = list(indices)
         cur_n = self.trees[0].num_leaves
-        for tree in self.trees:
-            per_layer_paths.append(tree.open_batch(cur))
+        for _ in self.trees:
+            idx_per_tree.append(cur)
             cur_n //= 2
             cur = [c % cur_n for c in cur]
+
+        dev_pos = [i for i, t in enumerate(self.trees) if isinstance(t, MerkleTree)]
+        per_layer_paths: List[Optional[List[MerklePath]]] = [None] * len(self.trees)
+        if dev_pos:
+            dev_paths = MerkleTree.open_batch_many(
+                [self.trees[i] for i in dev_pos], [idx_per_tree[i] for i in dev_pos]
+            )
+            for i, paths in zip(dev_pos, dev_paths):
+                per_layer_paths[i] = paths
+        for i, tree in enumerate(self.trees):
+            if per_layer_paths[i] is None:
+                per_layer_paths[i] = tree.open_batch(idx_per_tree[i])
         return [
             QueryProof([per_layer_paths[l][q] for l in range(len(self.trees))])
             for q in range(len(indices))

@@ -63,6 +63,16 @@ def _commit_layers(leaf_columns, B: int):
     return tuple(layers)
 
 
+def _gather_one(layers, leaf_columns, idx):
+    vals = jnp.take(leaf_columns, idx, axis=2)
+    sibs = []
+    cur = idx
+    for layer in layers[:-1]:
+        sibs.append(jnp.take(layer, cur ^ 1, axis=1))
+        cur = cur // 2
+    return vals, jnp.stack(sibs, axis=0)
+
+
 @jax.jit
 def _gather_openings(layers, leaf_columns, idx):
     """Leaf payloads + sibling digests for ALL queries in one dispatch.
@@ -71,13 +81,20 @@ def _gather_openings(layers, leaf_columns, idx):
     (L, 8, nq) sibling digests stacked over levels) - exactly TWO arrays,
     so the host pays two transfers per tree instead of one per level.
     """
-    vals = jnp.take(leaf_columns, idx, axis=2)
-    sibs = []
-    cur = idx
-    for layer in layers[:-1]:
-        sibs.append(jnp.take(layer, cur ^ 1, axis=1))
-        cur = cur // 2
-    return vals, jnp.stack(sibs, axis=0)
+    return _gather_one(layers, leaf_columns, idx)
+
+
+@jax.jit
+def _gather_openings_multi(layers_per_tree, leaf_cols_per_tree, idx_per_tree):
+    """Query openings for MANY trees in one dispatch (tuple pytree args).
+
+    The FRI query phase opens every fold layer's tree at related indices;
+    batching all trees into one launch removes a per-tree dispatch
+    round-trip (the remote-tunnel latency otherwise dominates)."""
+    return tuple(
+        _gather_one(ls, lc, ix)
+        for ls, lc, ix in zip(layers_per_tree, leaf_cols_per_tree, idx_per_tree)
+    )
 
 
 class MerkleTree:
@@ -122,32 +139,50 @@ class MerkleTree:
         """Open many indices at once: ONE device dispatch gathers all leaf
         payloads and sibling digests for every query and level."""
         idx = np.asarray(list(indices), dtype=np.int32)
-        nq = len(idx)
         vals_dev, sibs_dev = _gather_openings(
             tuple(self.layers), self.leaf_columns, jnp.asarray(idx)
         )
-        vals = np.asarray(vals_dev)  # (8, B, nq)
-        B = vals.shape[1]
-        from .field.limbs import unpack_ints
+        return _assemble_paths(vals_dev, sibs_dev, idx)
 
-        ints = unpack_ints(vals)  # (B, nq) Python ints
-        sibs = np.asarray(sibs_dev)  # (L, 8, nq)
-        sib_bytes_per_level = [digests_to_bytes(sibs[l]) for l in range(sibs.shape[0])]
-
-        paths = []
-        for q in range(nq):
-            path = []
-            cur_i = int(idx[q])
-            for sb in sib_bytes_per_level:
-                direction = RIGHT if cur_i % 2 == 0 else LEFT
-                path.append((sb[q].tobytes(), direction))
-                cur_i //= 2
-            leaf_vals = [Fp(int(ints[b, q])) for b in range(B)]
-            paths.append(MerklePath(leaf_vals, path))
-        return paths
+    @staticmethod
+    def open_batch_many(trees: Sequence["MerkleTree"], idx_lists) -> List[List["MerklePath"]]:
+        """Open several trees at once in ONE device dispatch."""
+        idx_arrays = [np.asarray(list(il), dtype=np.int32) for il in idx_lists]
+        outs = _gather_openings_multi(
+            tuple(tuple(t.layers) for t in trees),
+            tuple(t.leaf_columns for t in trees),
+            tuple(jnp.asarray(ix) for ix in idx_arrays),
+        )
+        return [
+            _assemble_paths(vals, sibs, ix)
+            for (vals, sibs), ix in zip(outs, idx_arrays)
+        ]
 
     def open(self, index: int) -> "MerklePath":
         return self.open_batch([index])[0]
+
+
+def _assemble_paths(vals_dev, sibs_dev, idx: np.ndarray) -> List["MerklePath"]:
+    """Host assembly of MerklePath objects from gathered device arrays."""
+    vals = np.asarray(vals_dev)  # (8, B, nq)
+    B = vals.shape[1]
+    from .field.limbs import unpack_ints
+
+    ints = unpack_ints(vals)  # (B, nq) Python ints
+    sibs = np.asarray(sibs_dev)  # (L, 8, nq)
+    sib_bytes_per_level = [digests_to_bytes(sibs[l]) for l in range(sibs.shape[0])]
+
+    paths = []
+    for q in range(len(idx)):
+        path = []
+        cur_i = int(idx[q])
+        for sb in sib_bytes_per_level:
+            direction = RIGHT if cur_i % 2 == 0 else LEFT
+            path.append((sb[q].tobytes(), direction))
+            cur_i //= 2
+        leaf_vals = [Fp(int(ints[b, q])) for b in range(B)]
+        paths.append(MerklePath(leaf_vals, path))
+    return paths
 
 
 @dataclass
