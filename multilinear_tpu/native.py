@@ -71,6 +71,9 @@ def _load() -> None:
     lib.mlt_fingerprint.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p]
     lib.mlt_sha256.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_sha256_many.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
+    lib.mlt_sha_init.argtypes = [u8p]
+    lib.mlt_sha_update.argtypes = [u8p, u8p, ctypes.c_uint64]
+    lib.mlt_sha_digest.argtypes = [u8p, u8p]
     lib.mlt_merkle_layers.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_merkle_verify.argtypes = [
         u8p, ctypes.c_uint64, u8p, u8p, ctypes.c_uint64, u8p,
@@ -228,6 +231,152 @@ def merkle_layers(leaves: np.ndarray) -> List[np.ndarray]:
         layers.append(nxt)
         cur = nxt
     return layers
+
+
+class Sha256Stream:
+    """Streaming SHA-256 with an exportable/importable midstate.
+
+    hashlib cannot export its internal state, but the Fiat-Shamir
+    transcript must hop between host and device (device kernels absorb
+    round data and derive challenges without a host round-trip), so the
+    transcript runs on this implementation: native C++ when available,
+    exact pure Python otherwise.  Digest semantics match hashlib exactly.
+
+    Midstate layout: (8 x u32 chaining state, partial block bytes, total
+    absorbed length).
+    """
+
+    __slots__ = ("_ctx", "_st", "_buf", "_total")
+
+    def __init__(self):
+        if HAVE_NATIVE:
+            self._ctx = np.zeros(112, dtype=np.uint8)
+            _LIB.mlt_sha_init(_p(self._ctx))
+        else:
+            self._st = list(_SHA_H0)
+            self._buf = b""
+            self._total = 0
+
+    def update(self, data: bytes) -> None:
+        if HAVE_NATIVE:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            if arr.size:
+                _LIB.mlt_sha_update(_p(self._ctx), _p(arr), arr.size)
+            return
+        self._total += len(data)
+        self._buf += data
+        while len(self._buf) >= 64:
+            _sha_compress_py(self._st, self._buf[:64])
+            self._buf = self._buf[64:]
+
+    def digest(self) -> bytes:
+        """Finalize a CLONE; the stream itself does not advance."""
+        if HAVE_NATIVE:
+            out = np.empty(32, dtype=np.uint8)
+            _LIB.mlt_sha_digest(_p(self._ctx), _p(out))
+            return out.tobytes()
+        st = list(self._st)
+        fill = len(self._buf)
+        tail = self._buf + b"\x80"
+        blocks = 1 if fill + 1 + 8 <= 64 else 2
+        tail += b"\x00" * (64 * blocks - len(tail) - 8)
+        tail += (self._total * 8).to_bytes(8, "big")
+        for i in range(blocks):
+            _sha_compress_py(st, tail[64 * i : 64 * i + 64])
+        return b"".join(int(w).to_bytes(4, "big") for w in st)
+
+    def copy(self) -> "Sha256Stream":
+        t = Sha256Stream.__new__(Sha256Stream)
+        if HAVE_NATIVE:
+            t._ctx = self._ctx.copy()
+        else:
+            t._st = list(self._st)
+            t._buf = self._buf
+            t._total = self._total
+        return t
+
+    # -- midstate export/import (for host<->device transcript hopping) -----
+    def export_state(self):
+        """Returns (state words (8,) uint32, partial block bytes, total_len)."""
+        if HAVE_NATIVE:
+            st = self._ctx[:32].view(np.uint32).copy()
+            fill = int(self._ctx[104:108].view(np.uint32)[0])
+            buf = self._ctx[32 : 32 + fill].tobytes()
+            total = int(self._ctx[96:104].view(np.uint64)[0])
+            return st, buf, total
+        return (
+            np.asarray(self._st, dtype=np.uint32),
+            self._buf,
+            self._total,
+        )
+
+    @staticmethod
+    def import_state(st_words, buf: bytes, total: int) -> "Sha256Stream":
+        t = Sha256Stream()
+        if HAVE_NATIVE:
+            t._ctx[:32] = np.asarray(st_words, dtype=np.uint32).view(np.uint8)
+            t._ctx[32 : 32 + len(buf)] = np.frombuffer(buf, dtype=np.uint8)
+            t._ctx[96:104] = np.frombuffer(
+                np.asarray([total], dtype=np.uint64).tobytes(), dtype=np.uint8
+            )
+            t._ctx[104:108] = np.frombuffer(
+                np.asarray([len(buf)], dtype=np.uint32).tobytes(), dtype=np.uint8
+            )
+        else:
+            t._st = [int(w) for w in np.asarray(st_words, dtype=np.uint32)]
+            t._buf = bytes(buf)
+            t._total = int(total)
+        return t
+
+
+_SHA_H0 = (
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+)
+
+_SHA_K = (
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+)
+
+
+def _sha_compress_py(st: List[int], block: bytes) -> None:
+    M = 0xFFFFFFFF
+
+    def rotr(x, r):
+        return ((x >> r) | (x << (32 - r))) & M
+
+    w = list(int.from_bytes(block[4 * t : 4 * t + 4], "big") for t in range(16))
+    for t in range(16, 64):
+        s0 = rotr(w[t - 15], 7) ^ rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
+        s1 = rotr(w[t - 2], 17) ^ rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
+        w.append((w[t - 16] + s0 + w[t - 7] + s1) & M)
+    a, b, c, d, e, f, g, h = st
+    for t in range(64):
+        S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        ch = (e & f) ^ (~e & g & M)
+        t1 = (h + S1 + ch + _SHA_K[t] + w[t]) & M
+        S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (S0 + maj) & M
+        h, g, f, e, d, c, b, a = g, f, e, (d + t1) & M, c, b, a, (t1 + t2) & M
+    st[0] = (st[0] + a) & M
+    st[1] = (st[1] + b) & M
+    st[2] = (st[2] + c) & M
+    st[3] = (st[3] + d) & M
+    st[4] = (st[4] + e) & M
+    st[5] = (st[5] + f) & M
+    st[6] = (st[6] + g) & M
+    st[7] = (st[7] + h) & M
 
 
 def merkle_verify(leaf_bytes: bytes, sibs: List[bytes], dirs: List[int], root: bytes) -> Tuple[bool, int]:

@@ -16,20 +16,36 @@ so it synchronizes device work without ever becoming a bottleneck.
 
 from __future__ import annotations
 
-import hashlib
-
 from .field.scalar import Fp
 
 
 class Transcript:
+    """Runs on a midstate-capable SHA-256 (native C++ / pure Python) so the
+    state can hop to the device and back; digests are hashlib-identical."""
+
     __slots__ = ("_state",)
 
     def __init__(self):
-        self._state = hashlib.sha256()
+        from .native import Sha256Stream
+
+        self._state = Sha256Stream()
 
     def clone(self) -> "Transcript":
         t = Transcript.__new__(Transcript)
         t._state = self._state.copy()
+        return t
+
+    # -- midstate hopping ----------------------------------------------------
+    def export_state(self):
+        """(8 uint32 chaining words, partial block bytes, total length)."""
+        return self._state.export_state()
+
+    @staticmethod
+    def import_state(st_words, buf: bytes, total: int) -> "Transcript":
+        from .native import Sha256Stream
+
+        t = Transcript.__new__(Transcript)
+        t._state = Sha256Stream.import_state(st_words, buf, total)
         return t
 
     def absorb(self, data: bytes) -> None:

@@ -239,6 +239,66 @@ static void sha256(const u8* msg, u64 len, u8 out[32]) {
 
 void mlt_sha256(const u8* msg, u64 len, u8* out) { sha256(msg, len, out); }
 
+// Streaming SHA-256 with an EXPORTABLE midstate, so a Fiat-Shamir
+// transcript can hop between host and device: the state is 8 u32 words +
+// a partial block + byte counts, laid out as a flat 108-byte buffer:
+//   [0..32)   8 x u32 chaining state (host endianness)
+//   [32..96)  64-byte partial block
+//   [96..104) u64 total bytes absorbed
+//   [104..108) u32 partial-block fill (bytes)
+struct ShaCtx {
+    u32 st[8];
+    u8 buf[64];
+    u64 total;
+    u32 fill;
+};
+
+void mlt_sha_init(u8* ctx_bytes) {
+    ShaCtx* c = (ShaCtx*)ctx_bytes;
+    static const u32 H0[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                              0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+    std::memcpy(c->st, H0, 32);
+    c->total = 0;
+    c->fill = 0;
+}
+
+void mlt_sha_update(u8* ctx_bytes, const u8* data, u64 len) {
+    ShaCtx* c = (ShaCtx*)ctx_bytes;
+    c->total += len;
+    while (len) {
+        u64 space = 64 - c->fill;
+        u64 take = len < space ? len : space;
+        std::memcpy(c->buf + c->fill, data, take);
+        c->fill += (u32)take;
+        data += take;
+        len -= take;
+        if (c->fill == 64) {
+            sha256_compress(c->st, c->buf);
+            c->fill = 0;
+        }
+    }
+}
+
+// finalize a CLONE of the context (the transcript's clone-digest semantics)
+void mlt_sha_digest(const u8* ctx_bytes, u8* out) {
+    ShaCtx c;
+    std::memcpy(&c, ctx_bytes, sizeof(ShaCtx));
+    u8 tail[128] = {0};
+    std::memcpy(tail, c.buf, c.fill);
+    tail[c.fill] = 0x80;
+    u64 blocks = (c.fill + 1 + 8 <= 64) ? 1 : 2;
+    u64 bitlen = c.total * 8;
+    for (int i = 0; i < 8; i++)
+        tail[64 * blocks - 1 - i] = (u8)(bitlen >> (8 * i));
+    for (u64 i = 0; i < blocks; i++) sha256_compress(c.st, tail + 64 * i);
+    for (int i = 0; i < 8; i++) {
+        out[4 * i] = (u8)(c.st[i] >> 24);
+        out[4 * i + 1] = (u8)(c.st[i] >> 16);
+        out[4 * i + 2] = (u8)(c.st[i] >> 8);
+        out[4 * i + 3] = (u8)c.st[i];
+    }
+}
+
 // Hash n messages of fixed length each (leaf layer).
 void mlt_sha256_many(const u8* msgs, u64 msg_len, u64 n, u8* out) {
     for (u64 i = 0; i < n; i++) sha256(msgs + msg_len * i, msg_len, out + 32 * i);
