@@ -1,0 +1,73 @@
+"""Device transcript ops vs the host transcript, bit for bit."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multilinear_tpu import device_transcript as dt
+from multilinear_tpu.field import limbs
+from multilinear_tpu.field.scalar import Fp, P
+from multilinear_tpu.transcript import Transcript
+
+rng = random.Random(17)
+
+
+def _digest_bytes(state):
+    return np.asarray(dt.digest_words(state)).astype(">u4").tobytes()
+
+
+def test_fresh_state_matches_empty_transcript():
+    assert _digest_bytes(dt.fresh_state()) == Transcript().random()
+
+
+def test_absorb_and_digest_parity():
+    host = Transcript()
+    dev = dt.fresh_state()
+    for _ in range(25):
+        nw = rng.choice([2, 4, 8])
+        data = bytes(rng.randrange(256) for _ in range(4 * nw))
+        host.absorb(data)
+        words = jnp.asarray(np.frombuffer(data, dtype=">u4").astype(np.uint32))
+        dev = dt.absorb_words(dev, words)
+        assert _digest_bytes(dev) == host.random()
+
+
+def test_challenge_parity():
+    host = Transcript()
+    dev = dt.fresh_state()
+    for i in range(8):
+        x = Fp(rng.randrange(P))
+        host.absorb(x.to_bytes())
+        dev = dt.absorb_field_limbs(dev, jnp.asarray(limbs.pack_scalar(x)))
+        want = host.next_challenge()
+        got = Fp(limbs.unpack_int(np.asarray(dt.challenge(dev))))
+        assert got == want, f"challenge mismatch at step {i}"
+
+
+def test_state_hopping_roundtrip():
+    """host -> device -> host keeps the stream identical to staying on host."""
+    host = Transcript()
+    host.absorb(b"0123456789abcdef" * 3)  # 48 bytes: partial block, word-aligned
+    ref = host.clone()
+
+    dev = dt.state_from_host(host)
+    dev = dt.absorb_field_limbs(dev, jnp.asarray(limbs.pack_scalar(Fp(42))))
+    back = dt.state_to_host(dev)
+
+    ref.absorb(Fp(42).to_bytes())
+    assert back.random() == ref.random()
+    back.absorb(b"tail")
+    ref.absorb(b"tail")
+    assert back.random() == ref.random()
+    assert back.next_challenge() == ref.next_challenge()
+
+
+def test_unaligned_midstate_rejected():
+    host = Transcript()
+    host.absorb(b"abc")  # 3 bytes: not word-aligned
+    import pytest
+
+    with pytest.raises(ValueError):
+        dt.state_from_host(host)
