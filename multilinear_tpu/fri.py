@@ -20,6 +20,7 @@ host<->device boundary during folding.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -361,12 +362,28 @@ class FriProof:
             raise FriError("incompatible last_random transcript fingerprint")
 
 
+@partial(jax.jit, static_argnums=())
+def _encode_impl(evals, pows):
+    from .mle import bit_reverse, to_coeffs
+    from .ntt import _ntt_stages
+
+    coeffs = bit_reverse(to_coeffs(evals))
+    pad_width = [(0, 0)] * coeffs.ndim
+    pad_width[-1] = (0, ((1 << LOG_BLOWUP) - 1) * coeffs.shape[-1])
+    padded = jnp.pad(coeffs, pad_width)
+    log_m = padded.shape[-1].bit_length() - 1
+    return bit_reverse(_ntt_stages(padded, pows, log_m))
+
+
 def encode_mle_for_fri(evals):
     """eval form -> bit-reversed coefficient form -> RS codeword.
 
-    The bit-reversal aligns FRI's even/odd low-bit split with sumcheck's
-    MSB top/bottom-half fold (reference multilinear_pcs.rs:101-107, Q8).
+    One fused jit so XLA reuses the intermediate buffers (at 2^24 each
+    intermediate is a gigabyte).  The coefficient bit-reversal aligns
+    FRI's even/odd low-bit split with sumcheck's MSB top/bottom-half fold
+    (reference multilinear_pcs.rs:101-107, Q8).
     """
-    from .mle import bit_reverse, to_coeffs
+    from .ntt import gen_pows
 
-    return reed_solomon(bit_reverse(to_coeffs(evals)))
+    log_m = (evals.shape[-1].bit_length() - 1) + LOG_BLOWUP
+    return _encode_impl(evals, gen_pows(log_m))

@@ -258,10 +258,18 @@ def _bitrev_indices(n: int) -> np.ndarray:
 
 
 def bit_reverse(x):
-    """Bit-reverse permutation along the last value axis (device gather).
+    """Bit-reverse permutation along the last value axis.
 
-    Reference: src/ntt/mod.rs:113-123.
+    Implemented as reshape-to-(2,)*L + axis reversal + reshape: one XLA
+    transpose, no 2^n index constant in the graph (a gather-table at 2^25
+    costs 128 MB of HBM and transfer).  Reference: src/ntt/mod.rs:113-123.
     """
     n = x.shape[-1]
-    idx = jnp.asarray(_bitrev_indices(n))
-    return jnp.take(x, idx, axis=x.ndim - 1)
+    bits = n.bit_length() - 1
+    if bits <= 1:
+        return x
+    lead = x.shape[:-1]
+    nl = len(lead)
+    v = x.reshape(lead + (2,) * bits)
+    perm = list(range(nl)) + list(range(nl + bits - 1, nl - 1, -1))
+    return v.transpose(perm).reshape(lead + (n,))

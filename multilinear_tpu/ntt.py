@@ -55,14 +55,22 @@ def _pow_table(gen_v: int, log_size: int):
 
 
 def gen_pows(log_size: int):
-    """Powers of the 2^log_size-domain generator (reference
-    pow_2_generator_powers, src/ntt/mod.rs:18-28)."""
-    return _pow_table(pow2_generator(log_size).v, log_size)
+    """Powers of the 2^log_size-domain generator, FIRST HALF of the cycle.
+
+    Every twiddle exponent in the Pease NTT and the FRI fold is < 2^(log-1),
+    so only [1, g, ..., g^(2^(log-1)-1)] is materialized - half the HBM of
+    the reference's full table (pow_2_generator_powers, src/ntt/mod.rs:18-28).
+    """
+    if log_size == 0:
+        return _pow_table(1, 0)
+    return _pow_table(pow2_generator(log_size).v, log_size - 1)
 
 
 def inv_gen_pows(log_size: int):
-    """Powers of the inverse domain generator (for iNTT and FRI fold)."""
-    return _pow_table(pow2_generator(log_size).inv().v, log_size)
+    """First-half powers of the inverse domain generator (iNTT, FRI fold)."""
+    if log_size == 0:
+        return _pow_table(1, 0)
+    return _pow_table(pow2_generator(log_size).inv().v, log_size - 1)
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -22,12 +22,13 @@ one Merkle layer hash; the host only sees O(1) field elements per round.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from .field import limbs
+from .field import limbs, ops
 from .field.scalar import Fp, TWO_INV
 from .fri import (
     FriError,
@@ -53,6 +54,119 @@ def _pcs_round_tail(data, code, twiddles, r_limbs, half_limbs):
     new_data = _fold_kernel(data, r_limbs)
     nxt, pairs, layers = _fold_and_commit(code, twiddles, r_limbs, half_limbs)
     return new_data, nxt, pairs, layers
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _device_pcs_round(data, code, twiddles, tr_state, prev_sum):
+    """One COMPLETE PCS round on device, Fiat-Shamir included.
+
+    Computes the round polynomial, absorbs its nonzero coefficients into
+    the on-device transcript, derives the challenge, folds the sumcheck
+    table and the codeword, hashes the next Merkle tree and absorbs its
+    root - zero host synchronization, so consecutive rounds stream through
+    the async dispatch queue and the tunnel latency overlaps with compute.
+
+    Returns (new_data, new_code, pairs, layers, new_tr_state,
+    (r, c1, c2, new_prev_sum)) with all scalars as (8,) limb vectors.
+    """
+    from . import device_transcript as dtr
+    from .field import limbs as _limbs
+    from .sumcheck import _extensions
+
+    # round polynomial s(X) at X = 1, 2 (identity composition)
+    exts = _extensions(data, 2)
+    dx = jnp.stack([e[:, 1] for e in exts], axis=1)  # (8, 2, off)
+    mx = jnp.stack([e[:, 0] for e in exts], axis=1)
+    sums = jnp.stack(
+        [ops.sum_mod(ops.mul(dx[:, i], mx[:, i]), axis=1) for i in range(2)], axis=1
+    )  # (8, 2)
+    s1, s2 = sums[:, 0], sums[:, 1]
+    s0 = ops.sub(prev_sum.reshape(8, 1), s1.reshape(8, 1))[:, 0]
+    # degree-2 interpolation over {0,1,2}: c2 = (s2 - 2 s1 + s0)/2,
+    # c1 = s1 - s0 - c2, c0 = s0
+    inv2 = ops.broadcast_scalar(jnp.asarray(_limbs.pack_scalar(TWO_INV)), ())
+    a = ops.add(s2.reshape(8, 1), s0.reshape(8, 1))
+    b = ops.add(s1.reshape(8, 1), s1.reshape(8, 1))
+    c2 = ops.mul(ops.sub(a, b), inv2.reshape(8, 1))[:, 0]
+    c1 = ops.sub(
+        ops.sub(s1.reshape(8, 1), s0.reshape(8, 1)), c2.reshape(8, 1)
+    )[:, 0]
+
+    tr = dtr.absorb_field_limbs(tr_state, c1)
+    tr = dtr.absorb_field_limbs(tr, c2)
+    r = dtr.challenge(tr)
+
+    # new_prev = s0 + r*(c1 + r*c2)
+    rr = r.reshape(8, 1)
+    inner = ops.add(c1.reshape(8, 1), ops.mul(rr, c2.reshape(8, 1)))
+    new_prev = ops.add(s0.reshape(8, 1), ops.mul(rr, inner))[:, 0]
+
+    half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
+    new_data = _fold_kernel(data, r)
+    nxt, pairs, layers = _fold_and_commit(code, twiddles, r, half_limbs)
+    tr = dtr.absorb_words(tr, layers[-1][:, 0])
+    return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
+
+
+def _device_rounds(
+    tables: SumcheckTables,
+    fri_data: FriProverData,
+    transcript: Transcript,
+    previous_sum: Fp,
+):
+    """Run as many full PCS rounds as possible entirely on device.
+
+    Returns (rounds_done, pols, new_previous_sum) and leaves both the
+    tables/FRI state and the CALLER'S transcript advanced exactly as the
+    host path would have (bit-identical, pinned by tests).
+    """
+    import numpy as np
+
+    from . import device_transcript as dtr
+    from .field.limbs import unpack_int
+
+    blowup = 1 << LOG_BLOWUP
+    if tables.on_host or fri_data._current_host is not None:
+        return 0, [], previous_sum
+    try:
+        tr_state = dtr.state_from_host(transcript)
+    except ValueError:  # non-word-aligned prior absorbs: host rounds only
+        return 0, [], previous_sum
+
+    prev = jnp.asarray(limbs.pack_scalar(previous_sum))
+    inv_pows = inv_gen_pows(fri_data._log_domain)
+    outs = []
+    k = 0
+    while True:
+        m = fri_data._current.shape[-1]
+        half = m // 2
+        if not (half > blowup and half > HOST_THRESHOLD()):
+            break
+        tw = inv_pows[:, :: 1 << k][:, :half]
+        new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
+            tables.data, fri_data._current, tw, tr_state, prev
+        )
+        tables.apply_folded(new_data)
+        fri_data._current = nxt
+        fri_data.trees.append(MerkleTree(list(layers), pairs))
+        prev = meta[3]
+        outs.append(meta)
+        k += 1
+    if k == 0:
+        return 0, [], previous_sum
+
+    # one synchronization: fetch the round scalars + final transcript state
+    fetched = jax.device_get((outs, tr_state, prev))
+    outs_h, tr_h, prev_h = fetched
+    pols = [
+        SumcheckPoly([
+            Fp(unpack_int(np.asarray(c1))),
+            Fp(unpack_int(np.asarray(c2))),
+        ])
+        for (_r, c1, c2, _p) in outs_h
+    ]
+    transcript._state = dtr.state_to_host(tr_h)._state
+    return k, pols, Fp(unpack_int(np.asarray(prev_h)))
 
 
 def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: Fp, transcript: Transcript) -> None:
@@ -114,8 +228,13 @@ class PCSProof:
 
         num_steps = n_vars
         previous_sum = Fp(output)
-        pols: List[SumcheckPoly] = []
-        for k in range(num_steps):
+        # rounds that fold-and-commit fully on device run with the ON-DEVICE
+        # transcript: zero host syncs, rounds stream through the dispatch queue
+        start_k, dev_pols, previous_sum = _device_rounds(
+            tables, fri_data, transcript, previous_sum
+        )
+        pols: List[SumcheckPoly] = dev_pols
+        for k in range(start_k, num_steps):
             pol, r, previous_sum = tables.round_poly(
                 identity_composition, 2, previous_sum, transcript
             )

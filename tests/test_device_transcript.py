@@ -71,3 +71,56 @@ def test_unaligned_midstate_rejected():
 
     with pytest.raises(ValueError):
         dt.state_from_host(host)
+
+
+def test_device_rounds_proof_bit_identical():
+    """PCS proofs with on-device Fiat-Shamir rounds are byte-identical to
+    the pure host-tail path."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.serialize import pcs_proof_to_bytes
+
+    n_vars = 8
+    evals = [Fp(i * 9 + 4) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i + 2) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
+        ref = PCSProof.prove(inputs, output, dev, Transcript())
+        set_config(ProverConfig(host_threshold=16))  # device rounds + device FS
+        got = PCSProof.prove(inputs, output, dev, Transcript())
+    finally:
+        set_config(old)
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
+    got.verify(Transcript())
+
+
+def test_device_rounds_after_prior_absorbs():
+    """Device rounds also work mid-protocol (non-empty transcript)."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.serialize import pcs_proof_to_bytes
+
+    n_vars = 7
+    evals = [Fp(i * 5 + 1) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i + 1) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))
+        t1 = Transcript(); t1.absorb(Fp(777).to_bytes())
+        ref = PCSProof.prove(inputs, output, dev, t1)
+        set_config(ProverConfig(host_threshold=16))
+        t2 = Transcript(); t2.absorb(Fp(777).to_bytes())
+        got = PCSProof.prove(inputs, output, dev, t2)
+        assert t1.random() == t2.random()  # transcripts end identical
+    finally:
+        set_config(old)
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)

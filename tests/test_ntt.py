@@ -67,11 +67,12 @@ def test_reed_solomon():
 
 
 def test_gen_pows_table():
+    # tables hold the FIRST HALF of the cycle (all twiddle exponents < n/2)
     log_n = 6
     pows = np.asarray(ntt.gen_pows(log_n))
     g = pow2_generator(log_n).v
     got = list(limbs.unpack_ints(pows))
-    assert got == [pow(g, i, P) for i in range(1 << log_n)]
+    assert got == [pow(g, i, P) for i in range(1 << (log_n - 1))]
     inv = np.asarray(ntt.inv_gen_pows(log_n))
     gi = pow(g, P - 2, P)
-    assert list(limbs.unpack_ints(inv)) == [pow(gi, i, P) for i in range(1 << log_n)]
+    assert list(limbs.unpack_ints(inv)) == [pow(gi, i, P) for i in range(1 << (log_n - 1))]
