@@ -216,47 +216,10 @@ class PCSProof:
 
         Reference flow: src/fri/multilinear_pcs.rs:89-136.
         """
-        inputs = [Fp(x) for x in inputs]
-        n_vars = len(inputs)
-        height = evals.shape[-1]
-        assert 1 << n_vars == height
-        log_domain_size = n_vars + LOG_BLOWUP
+        session = PCSProverSession(inputs, output, evals, transcript)
+        session.run_rounds()
+        return session.finish()
 
-        code = encode_mle_for_fri(evals)
-        fri_data = FriProverData.init(code, transcript)
-        tables = SumcheckTables.for_pcs(inputs, evals)
-
-        num_steps = n_vars
-        previous_sum = Fp(output)
-        # rounds that fold-and-commit fully on device run with the ON-DEVICE
-        # transcript: zero host syncs, rounds stream through the dispatch queue
-        start_k, dev_pols, previous_sum = _device_rounds(
-            tables, fri_data, transcript, previous_sum
-        )
-        pols: List[SumcheckPoly] = dev_pols
-        for k in range(start_k, num_steps):
-            pol, r, previous_sum = tables.round_poly(
-                identity_composition, 2, previous_sum, transcript
-            )
-            pols.append(pol)
-            fused_pcs_fold(tables, fri_data, k, r, transcript)
-        assert fri_data.last_element is not None
-
-        domain_size = 1 << log_domain_size
-        indices = []
-        for _ in range(NUM_QUERIES):
-            idx = transcript.random_index(domain_size // 2)
-            indices.append(idx)
-            transcript.absorb_index(idx)
-        queries = fri_data.open_queries(indices)
-
-        fri_proof = FriProof(
-            commitments=fri_data.fold_roots(),
-            queries=queries,
-            last_elem=fri_data.last_element,
-            last_random=transcript.random(),
-        )
-        return PCSProof(fri_proof, pols, list(inputs), Fp(output))
 
     def verify(self, transcript: Transcript) -> None:
         """Replay the interleaved transcript, telescope the sumcheck, check
@@ -289,3 +252,113 @@ class PCSProof:
             raise FriError("PCS link check failed: eq * last_elem != s_last(r)")
 
         self.fri_proof.verify_queries(transcript, random_elements)
+
+
+class PCSProverSession:
+    """Stage-by-stage PCS prover with checkpoint/resume support.
+
+    ``PCSProof.prove`` is the one-shot wrapper; a long-running prover can
+    instead run a few rounds at a time, ``save()`` to disk, and ``resume``
+    later (even in another process) - the finished proof is byte-identical
+    to an uninterrupted run.
+    """
+
+    def __init__(self, inputs, output, evals, transcript: Transcript):
+        self.inputs = [Fp(x) for x in inputs]
+        self.output = Fp(output)
+        self.n_vars = len(self.inputs)
+        height = evals.shape[-1]
+        assert 1 << self.n_vars == height
+        self.transcript = transcript
+        code = encode_mle_for_fri(evals)
+        self.fri_data = FriProverData.init(code, transcript)
+        self.tables = SumcheckTables.for_pcs(self.inputs, evals)
+        self.k = 0
+        self.previous_sum = self.output
+        self.pols: List[SumcheckPoly] = []
+
+    def run_rounds(self, max_rounds: int = None) -> int:
+        """Run up to ``max_rounds`` sumcheck+FRI rounds; returns rounds done."""
+        end = self.n_vars if max_rounds is None else min(
+            self.n_vars, self.k + max_rounds
+        )
+        done = 0
+        # device-transcript streaming only when running to completion keeps
+        # checkpoint boundaries simple; partial runs use the host path
+        if max_rounds is None and self.k == 0:
+            start_k, dev_pols, self.previous_sum = _device_rounds(
+                self.tables, self.fri_data, self.transcript, self.previous_sum
+            )
+            self.pols.extend(dev_pols)
+            self.k = start_k
+            done = start_k
+        while self.k < end:
+            pol, r, self.previous_sum = self.tables.round_poly(
+                identity_composition, 2, self.previous_sum, self.transcript
+            )
+            self.pols.append(pol)
+            fused_pcs_fold(self.tables, self.fri_data, self.k, r, self.transcript)
+            self.k += 1
+            done += 1
+        return done
+
+    def finish(self) -> "PCSProof":
+        assert self.k == self.n_vars
+        assert self.fri_data.last_element is not None
+        transcript = self.transcript
+        domain_size = 1 << (self.n_vars + LOG_BLOWUP)
+        indices = []
+        for _ in range(NUM_QUERIES):
+            idx = transcript.random_index(domain_size // 2)
+            indices.append(idx)
+            transcript.absorb_index(idx)
+        queries = self.fri_data.open_queries(indices)
+        fri_proof = FriProof(
+            commitments=self.fri_data.fold_roots(),
+            queries=queries,
+            last_elem=self.fri_data.last_element,
+            last_random=transcript.random(),
+        )
+        return PCSProof(fri_proof, self.pols, list(self.inputs), self.output)
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, path: str) -> None:
+        from .checkpoint import save_pcs_state
+
+        save_pcs_state(
+            path,
+            self.tables,
+            self.fri_data,
+            self.transcript,
+            self.k,
+            self.previous_sum,
+            self.pols,
+        )
+        import json
+
+        with open(path + ".claim", "w") as f:
+            json.dump(
+                {"inputs": [x.v for x in self.inputs], "output": self.output.v}, f
+            )
+
+    @staticmethod
+    def resume(path: str) -> "PCSProverSession":
+        import json
+
+        from .checkpoint import load_pcs_state
+
+        s = PCSProverSession.__new__(PCSProverSession)
+        (
+            s.tables,
+            s.fri_data,
+            s.transcript,
+            s.k,
+            s.previous_sum,
+            s.pols,
+        ) = load_pcs_state(path)
+        with open(path + ".claim") as f:
+            claim = json.load(f)
+        s.inputs = [Fp(int(v)) for v in claim["inputs"]]
+        s.output = Fp(int(claim["output"]))
+        s.n_vars = len(s.inputs)
+        return s
