@@ -16,7 +16,7 @@ reuses the plain-FRI fold/commit kernels.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ eval-wise RLC and RS encoding are batched single passes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List
 
 import jax.numpy as jnp
 

@@ -15,9 +15,8 @@ dominate), the same data the prover must hold live anyway.
 
 from __future__ import annotations
 
-import io
 import json
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -8,8 +8,8 @@ The TPU build adds the host/device crossover threshold and mesh shape.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 
 @dataclass

@@ -18,15 +18,12 @@ nwords () int32 filled, total_words () int32 absorbed).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .field import ops
-from .field.scalar import P
 from .sha256 import _compress
 
 

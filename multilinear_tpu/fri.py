@@ -30,7 +30,7 @@ import numpy as np
 from .field import limbs, ops
 from .field.scalar import Fp, P, TWO_INV, pow2_generator
 from .merkle import FieldHostTree, MerklePath, MerkleTree
-from .ntt import LOG_BLOWUP, inv_gen_pows, reed_solomon
+from .ntt import LOG_BLOWUP, inv_gen_pows
 from .transcript import Transcript
 
 NUM_QUERIES = 128  # reference src/fri/mod.rs:17

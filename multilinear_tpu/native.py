@@ -17,7 +17,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import sys
 from typing import List, Optional, Tuple
 
 import numpy as np

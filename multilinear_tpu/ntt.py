@@ -29,7 +29,6 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .field import limbs, ops
 from .field.scalar import Fp, P, pow2_generator

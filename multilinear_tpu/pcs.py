@@ -36,7 +36,6 @@ from .fri import (
     FriProverData,
     HOST_THRESHOLD,
     NUM_QUERIES,
-    QueryProof,
     _fold_and_commit,
     encode_mle_for_fri,
 )

@@ -11,7 +11,7 @@ one byte per Direction - so proof sizes are directly comparable.
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List
 
 from .batched_fri import BatchedFriProof, BatchedQueryProof
 from .batched_pcs import BatchedPCSClaim, BatchedPCSProof

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .field import limbs
-from .field.scalar import Fp, ONE, ZERO
+from .field.scalar import Fp, ZERO
 from .mle import eq_scalar, evaluate_evals, mask_scalar
 from .sumcheck import SumcheckTables, replay_sumcheck
 from .transcript import Transcript
