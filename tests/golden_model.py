@@ -315,6 +315,109 @@ def pcs_prove(inputs, evals, transcript, log_blowup=1, num_queries=128):
     return roots, pols, last_elem, indices, transcript.state()
 
 
+def batched_pcs_prove(inputs, polys, transcript, log_blowup=1, num_queries=128):
+    """Golden batched PCS prover transcript (reference src/fri/batched_pcs.rs).
+
+    Returns (batch_root, roots, pols, last_elem, final_state).
+    """
+    n_vars = len(inputs)
+    n = len(polys[0])
+    B = len(polys)
+    outputs = [mle_eval(p, inputs) for p in polys]
+
+    codes = []
+    for p in polys:
+        coeffs = bit_reverse_list(mle_to_coeffs(p))
+        codes.append(reed_solomon(coeffs, log_blowup))
+    m = len(codes[0])
+    log_domain = m.bit_length() - 1
+    gen = pow2_gen(log_domain)
+    inv_gen = pow(gen, P - 2, P)
+
+    # absorb claim: inputs then outputs
+    for x in inputs:
+        transcript.absorb_felt(x)
+    for x in outputs:
+        transcript.absorb_felt(x)
+
+    # batch commit: leaf i = (c0[i]||c0[i+m/2]) || (c1[i]||...) ...
+    half = m // 2
+    leaves = [
+        b"".join(felt_bytes(c[i]) + felt_bytes(c[i + half]) for c in codes)
+        for i in range(half)
+    ]
+    batch_tree = merkle_layers(leaves)
+    batch_root = batch_tree[-1][0]
+    transcript.absorb(batch_root)
+    fingerprint_r = transcript.challenge()
+    transcript.absorb(felt_bytes(fingerprint_r))
+
+    def fingerprint(r, items):
+        acc = 0
+        for x in items:
+            acc = (acc * r + x) % P
+        return acc
+
+    # eval-wise RLC sumcheck polynomial
+    matrix = [fingerprint(fingerprint_r, [p[i] for p in polys]) for i in range(n)]
+    delta = [mask_eval(i, n_vars, inputs) for i in range(n)]
+    prev = fingerprint(fingerprint_r, outputs)
+
+    cur_code = None
+    roots, pols = [], []
+    last_elem = None
+    for k in range(n_vars):
+        off = len(matrix) // 2
+        e = [0, 0, 0]
+        for x in (1, 2):
+            s = 0
+            for i in range(off):
+                mx = (matrix[i] + x * (matrix[i + off] - matrix[i])) % P
+                dx = (delta[i] + x * (delta[i + off] - delta[i])) % P
+                s = (s + mx * dx) % P
+            e[x] = s
+        e[0] = (prev - e[1]) % P
+        cs = interpolate(e)
+        nonzero = cs[1:]
+        for c in nonzero:
+            transcript.absorb_felt(c)
+        pols.append(nonzero)
+        r = transcript.challenge()
+        prev = poly_eval(cs, r)
+        matrix = [(matrix[i] + r * (matrix[i + off] - matrix[i])) % P for i in range(off)]
+        delta = [(delta[i] + r * (delta[i + off] - delta[i])) % P for i in range(off)]
+
+        if k == 0:
+            # batched first fold on the fingerprinted columns
+            src = [fingerprint(fingerprint_r, [c[i] for c in codes]) for i in range(m)]
+        else:
+            src = cur_code
+        halfc = len(src) // 2
+        nxt = []
+        for i in range(halfc):
+            a, b = src[i], src[i + halfc]
+            tw = pow(inv_gen, i * (1 << k), P)
+            nxt.append(((a + b) + r * ((a - b) * tw % P)) % P * INV2 % P)
+        cur_code = nxt
+        if halfc == (1 << log_blowup):
+            assert all(v == cur_code[0] for v in cur_code)
+            last_elem = cur_code[0]
+            transcript.absorb(felt_bytes(last_elem))
+        else:
+            pairs = [
+                felt_bytes(cur_code[i]) + felt_bytes(cur_code[i + halfc // 2])
+                for i in range(halfc // 2)
+            ]
+            tree = merkle_layers(pairs)
+            roots.append(tree[-1][0])
+            transcript.absorb(tree[-1][0])
+
+    for _ in range(num_queries):
+        idx = transcript.rand_index(m // 2)
+        transcript.absorb(idx.to_bytes(8, "little"))
+    return batch_root, roots, pols, last_elem, transcript.state()
+
+
 def fri_prove(code, transcript, log_blowup=1, num_queries=128):
     """Golden FRI prover: returns (roots, last_elem, query data, last_random)."""
     n = len(code)

@@ -184,3 +184,35 @@ def test_snark_driver_multicolumn():
     proof.outputs[1] = proof.outputs[1] + Fp(1)
     with pytest.raises((AssertionError, FriError)):
         verifier2.verify_snark(vt2, proof)
+
+
+def test_batched_pcs_full_transcript_matches_golden():
+    """The entire batched-PCS transcript - batch root, fold roots, round
+    polys, last element, final state - matches the scalar golden model."""
+    import golden_model as gm
+
+    n_vars = 5
+    height = 1 << n_vars
+    B = 3
+    inputs = [Fp(i + 4) for i in range(n_vars)]
+    vals = []
+    for j in range(B):
+        vals.extend(Fp((i * 7 + j * 13 + 1)) for i in range(height))
+    polys = _device(vals, shape=(B, height))
+    outputs = [evaluate_evals_host(polys[:, i, :], inputs) for i in range(B)]
+
+    claim = BatchedPCSClaim(inputs=inputs, outputs=outputs)
+    transcript = Transcript()
+    proof = BatchedPCSProof.prove(claim, polys, transcript)
+
+    gt = gm.GoldenTranscript()
+    g_polys = [[Fp((i * 7 + j * 13 + 1)).v for i in range(height)] for j in range(B)]
+    batch_root, roots, pols, last_elem, final_state = gm.batched_pcs_prove(
+        [x.v for x in inputs], g_polys, gt
+    )
+    assert proof.fri_proof.batch_commitment == batch_root
+    assert proof.fri_proof.commitments == roots
+    assert [[c.v for c in p.nonzero_coeffs] for p in proof.sumcheck_polynomials] == pols
+    assert proof.fri_proof.last_elem.v == last_elem
+    assert proof.fri_proof.last_random == final_state
+    assert transcript.random() == final_state
