@@ -160,3 +160,12 @@ def test_config_host_threshold_is_live():
         assert t2.on_host
     finally:
         set_config(old)
+
+
+def test_benchmark_util(capsys):
+    from multilinear_tpu.utils import benchmark
+
+    with benchmark("timed: "):
+        _ = sum(range(1000))
+    out = capsys.readouterr().out
+    assert out.startswith("timed: ") and out.strip().endswith("s")
