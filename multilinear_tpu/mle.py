@@ -32,32 +32,52 @@ from .field.scalar import Fp, ONE
 # ---------------------------------------------------------------------------
 
 
+def _bit_passes(x, op):
+    """Apply the per-bit butterfly hi' = op(hi, lo) for every index bit.
+
+    The per-bit passes commute, so bits are processed in two groups to
+    keep EVERY intermediate view's trailing dimension >= sqrt(n): high
+    bits on the leading half-axis, one 2-D transpose, low bits likewise.
+    (Views with tiny trailing dims get padded ~16x by TPU tiling - at
+    2^24 that is the difference between 1 GB and 16 GB per buffer.)
+    """
+    n = x.shape[-1]
+    bits = n.bit_length() - 1
+    lead = x.shape[:-1]
+    if bits == 0:
+        return x
+
+    def passes_over_second_to_last(v, log_m):
+        # v: lead + (M, K); butterfly every bit of the M axis
+        M = 1 << log_m
+        K = v.shape[-1]
+        for i in range(log_m):
+            w = v.reshape(lead + (M >> (i + 1), 2, 1 << i, K))
+            lo = w[..., 0, :, :]
+            hi = op(w[..., 1, :, :], lo)
+            v = jnp.stack([lo, hi], axis=-3).reshape(lead + (M, K))
+        return v
+
+    b = bits // 2
+    a = bits - b
+    A, B = 1 << a, 1 << b
+    v = x.reshape(lead + (A, B))
+    v = passes_over_second_to_last(v, a)  # bits b..bits-1 (the A axis)
+    if b:
+        v = jnp.swapaxes(v, -1, -2)  # lead + (B, A)
+        v = passes_over_second_to_last(v, b)  # bits 0..b-1
+        v = jnp.swapaxes(v, -1, -2)
+    return v.reshape(lead + (n,))
+
+
 @partial(jax.jit, static_argnums=())
 def _to_evals_impl(coeffs):
-    x = coeffs
-    n = x.shape[-1]
-    n_vars = n.bit_length() - 1
-    lead = x.shape[:-1]
-    for i in range(n_vars):
-        v = x.reshape(lead + (n >> (i + 1), 2, 1 << i))
-        lo = v[..., 0, :]
-        hi = ops.add(v[..., 1, :], lo)
-        x = jnp.stack([lo, hi], axis=-2).reshape(lead + (n,))
-    return x
+    return _bit_passes(coeffs, ops.add)
 
 
 @partial(jax.jit, static_argnums=())
 def _to_coeffs_impl(evals):
-    x = evals
-    n = x.shape[-1]
-    n_vars = n.bit_length() - 1
-    lead = x.shape[:-1]
-    for i in range(n_vars):
-        v = x.reshape(lead + (n >> (i + 1), 2, 1 << i))
-        lo = v[..., 0, :]
-        hi = ops.sub(v[..., 1, :], lo)
-        x = jnp.stack([lo, hi], axis=-2).reshape(lead + (n,))
-    return x
+    return _bit_passes(evals, ops.sub)
 
 
 def to_evals(coeffs):
