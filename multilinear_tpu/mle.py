@@ -61,12 +61,17 @@ def _bit_passes(x, op):
     b = bits // 2
     a = bits - b
     A, B = 1 << a, 1 << b
+    # transposed phase FIRST, natural-layout phase LAST: ending on the
+    # un-transposed axis keeps the output in the standard minor-to-major
+    # layout (XLA otherwise propagates the transposed layout into
+    # consumers, putting the 8-limb axis in the lane dimension - a 16x
+    # tile-padding blowup at 2^24)
     v = x.reshape(lead + (A, B))
-    v = passes_over_second_to_last(v, a)  # bits b..bits-1 (the A axis)
     if b:
         v = jnp.swapaxes(v, -1, -2)  # lead + (B, A)
         v = passes_over_second_to_last(v, b)  # bits 0..b-1
         v = jnp.swapaxes(v, -1, -2)
+    v = passes_over_second_to_last(v, a)  # bits b..bits-1 (the A axis)
     return v.reshape(lead + (n,))
 
 
