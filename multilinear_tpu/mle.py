@@ -285,26 +285,19 @@ def _bitrev_indices(n: int) -> np.ndarray:
 def bit_reverse(x):
     """Bit-reverse permutation along the last value axis.
 
-    Split-radix decomposition: with i = h*B + l (h the top a bits, l the
-    low b bits), rev(i) = rev_b(l)*A + rev_a(h) - so the permutation is one
-    2-D transpose plus row/column gathers with sqrt(n)-sized index tables.
-    A full-size gather table at 2^25 costs 128 MB of HBM + transfer, and a
-    rank-L (2,)*L transpose gets catastrophically padded by TPU tiling;
-    this form keeps everything in natural 2-D layouts.
+    ONE gather whose index vector is computed on device from iota (~3 int
+    ops per bit) - no 2^n host constant to ship, no transposes.  Gathers
+    materialize standard layouts; every transpose-based formulation tried
+    here let XLA propagate a transposed layout into consumers, putting the
+    8-limb axis into the lane dimension (16x tile padding at 2^24).
     Reference: src/ntt/mod.rs:113-123.
     """
     n = x.shape[-1]
     bits = n.bit_length() - 1
     if bits <= 1:
         return x
-    lead = x.shape[:-1]
-    a = (bits + 1) // 2  # top bits
-    b = bits - a  # low bits
-    A, B = 1 << a, 1 << b
-    rev_a = jnp.asarray(_bitrev_indices(A).astype(np.int32))
-    rev_b = jnp.asarray(_bitrev_indices(B).astype(np.int32))
-    v = x.reshape(lead + (A, B))
-    y = jnp.swapaxes(v, -1, -2)  # (..., B, A): y[l, h] = x[h, l]
-    y = jnp.take(y, rev_b, axis=-2)  # rows u: y[rev_b(u), h]
-    y = jnp.take(y, rev_a, axis=-1)  # cols v: -> x[rev_a(v), rev_b(u)]
-    return y.reshape(lead + (n,))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros_like(iota)
+    for b in range(bits):
+        rev = rev | (((iota >> b) & 1) << (bits - 1 - b))
+    return jnp.take(x, rev, axis=x.ndim - 1)
