@@ -362,28 +362,32 @@ class FriProof:
             raise FriError("incompatible last_random transcript fingerprint")
 
 
-@partial(jax.jit, static_argnums=())
-def _encode_impl(evals, pows):
+@jax.jit
+def _coeffs_for_fri(evals):
+    """Moebius transform + coefficient bit-reversal + zero-pad.
+
+    Kept as its OWN jit, separate from the NTT scan: program boundaries
+    force standard layouts, which stops XLA from assigning the pad a
+    limb-minor layout (a 16x tile-padding blowup at 2^24).
+    """
     from .mle import bit_reverse, to_coeffs
-    from .ntt import _ntt_stages
 
     coeffs = bit_reverse(to_coeffs(evals))
     pad_width = [(0, 0)] * coeffs.ndim
     pad_width[-1] = (0, ((1 << LOG_BLOWUP) - 1) * coeffs.shape[-1])
-    padded = jnp.pad(coeffs, pad_width)
-    log_m = padded.shape[-1].bit_length() - 1
-    return bit_reverse(_ntt_stages(padded, pows, log_m))
+    return jnp.pad(coeffs, pad_width)
 
 
 def encode_mle_for_fri(evals):
     """eval form -> bit-reversed coefficient form -> RS codeword.
 
-    One fused jit so XLA reuses the intermediate buffers (at 2^24 each
-    intermediate is a gigabyte).  The coefficient bit-reversal aligns
-    FRI's even/odd low-bit split with sumcheck's MSB top/bottom-half fold
-    (reference multilinear_pcs.rs:101-107, Q8).
+    The coefficient bit-reversal aligns FRI's even/odd low-bit split with
+    sumcheck's MSB top/bottom-half fold (reference
+    multilinear_pcs.rs:101-107, Q8).
     """
-    from .ntt import gen_pows
+    from .mle import bit_reverse
+    from .ntt import _ntt_stages, gen_pows
 
-    log_m = (evals.shape[-1].bit_length() - 1) + LOG_BLOWUP
-    return _encode_impl(evals, gen_pows(log_m))
+    padded = _coeffs_for_fri(evals)
+    log_m = padded.shape[-1].bit_length() - 1
+    return bit_reverse(_ntt_stages(padded, gen_pows(log_m), log_m))
