@@ -385,9 +385,8 @@ def encode_mle_for_fri(evals):
     sumcheck's MSB top/bottom-half fold (reference
     multilinear_pcs.rs:101-107, Q8).
     """
-    from .mle import bit_reverse
-    from .ntt import _ntt_stages, gen_pows
+    from .ntt import _ntt_fourstep, gen_pows
 
     padded = _coeffs_for_fri(evals)
     log_m = padded.shape[-1].bit_length() - 1
-    return bit_reverse(_ntt_stages(padded, gen_pows(log_m), log_m))
+    return _ntt_fourstep(padded, gen_pows(log_m), log_m)

@@ -72,42 +72,104 @@ def inv_gen_pows(log_size: int):
     return _pow_table(pow2_generator(log_size).inv().v, log_size - 1)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _ntt_stages(x, pows, log_n: int):
-    """Constant-geometry (Pease) DIF butterflies under lax.scan.
+def _pease_axis2(x, pows, log_m: int):
+    """Constant-geometry (Pease) DIF butterflies along axis -2, under
+    lax.scan.
 
-    Every stage has IDENTICAL data movement - split halves, butterfly,
-    interleave - so the scan body is shape-invariant and the twiddle
-    multiply touches only HALF the array:
+    x: lead + (M, C).  Every stage has IDENTICAL data movement - split row
+    halves, butterfly, interleave rows - so the scan body is shape-
+    invariant, and because interleaving happens on axis -2 the trailing
+    dimension C stays wide (tiny trailing dims get padded ~16-64x by TPU
+    tiling).  Natural row order in, BIT-REVERSED row order out:
 
-        y[2i]   = x[i] + x[i + n/2]
-        y[2i+1] = (x[i] - x[i + n/2]) * g^(((i >> s) mod 2^(L-1-s)) << s)
-
-    Natural-order input, bit-reversed output (callers bit-reverse once at
-    the end).  Verified bit-exact against the scalar DIF model.  No data
-    gathers: only a (8, n/2) twiddle gather per stage, computed from the
-    cached power table.
+        y[2i]   = x[i] + x[i + M/2]
+        y[2i+1] = (x[i] - x[i + M/2]) * g^(((i >> s) mod 2^(L-1-s)) << s)
     """
-    n = 1 << log_n
-    half = n // 2
+    if log_m == 0:
+        return x
+    M = 1 << log_m
+    half = M // 2
+    C = x.shape[-1]
     iota = jnp.arange(half, dtype=jnp.int32)
-    stages = jnp.arange(log_n, dtype=jnp.int32)
+    stages = jnp.arange(log_m, dtype=jnp.int32)
+    lead = x.shape[:-2]
 
     def body(x, s):
-        u = x[..., :half]
-        v = x[..., half:]
+        u = x[..., :half, :]
+        v = x[..., half:, :]
         exp = ((iota >> s) & ((half - 1) >> s)) << s
         tw = jnp.take(pows, exp, axis=-1)  # (8, half)
-        if x.ndim > 2:
-            tw = tw.reshape((8,) + (1,) * (x.ndim - 2) + (half,))
-            tw = jnp.broadcast_to(tw, u.shape)
+        tw = tw.reshape((8,) + (1,) * (len(lead) - 1) + (half, 1))
+        tw = jnp.broadcast_to(tw, u.shape)
         p = ops.add(u, v)
         q = ops.mul(ops.sub(u, v), tw)
-        out = jnp.stack([p, q], axis=-1).reshape(x.shape)
+        out = jnp.stack([p, q], axis=-2).reshape(x.shape)
         return out, None
 
     x, _ = jax.lax.scan(body, x, stages)
     return x
+
+
+def _bitrev_axis2(x, log_m: int):
+    """Bit-reverse the axis -2 index (small gather; M <= ~2^13)."""
+    from .mle import _bitrev_indices
+
+    if log_m <= 1:
+        return x
+    idx = jnp.asarray(_bitrev_indices(1 << log_m).astype("int32"))
+    return jnp.take(x, idx, axis=x.ndim - 2)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ntt_fourstep(x, pows, log_n: int):
+    """Four-step NTT: natural order in, natural order out.
+
+    n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), a twiddle-matrix
+    multiply, a gather-transpose, then row-group NTTs (again axis -2).
+    Every intermediate keeps a wide trailing dimension and every data
+    permutation is a gather (standard layouts) - the flat Pease scan's
+    trailing-2 interleave made XLA lay the carry out limbs-minor, a 16x
+    tile-padding blowup at 2^24.  ``pows``: (8, n/2) first-half power
+    table of the full domain.  Verified bit-exact vs the scalar model.
+    """
+    n = 1 << log_n
+    if log_n == 0:
+        return x
+    a = (log_n + 1) // 2
+    b = log_n - a
+    A, B = 1 << a, 1 << b
+    lead = x.shape[1:-1]
+    M = x.reshape((8,) + lead + (A, B))
+
+    # powers of w^B (the A-domain root) and w^A (the B-domain root)
+    powsA = pows[:, ::B][:, : max(A // 2, 1)]
+    powsB = pows[:, ::A][:, : max(B // 2, 1)]
+
+    F = _bitrev_axis2(_pease_axis2(M, powsA, a), a)
+
+    # twiddle matrix T[k1][n2] = w^(k1*n2), from the half table with the
+    # w^(n/2) = -1 sign trick
+    ia = jnp.arange(A, dtype=jnp.uint32)
+    ib = jnp.arange(B, dtype=jnp.uint32)
+    e = (ia[:, None] * ib[None, :]) & jnp.uint32(n - 1)
+    e_lo = (e & jnp.uint32(n // 2 - 1)).astype(jnp.int32)
+    negate = e >= jnp.uint32(n // 2)
+    T = jnp.take(pows, e_lo, axis=-1)  # (8, A, B)
+    T = ops.select(jnp.broadcast_to(negate, T.shape[1:]), ops.neg(T), T)
+    if lead:
+        T = T.reshape((8,) + (1,) * len(lead) + (A, B))
+        T = jnp.broadcast_to(T, F.shape)
+    G = ops.mul(F, T)
+
+    # gather-transpose to lead + (B, A)
+    j = jnp.arange(n, dtype=jnp.uint32)
+    idx_t = ((j & jnp.uint32(A - 1)) * jnp.uint32(B) + (j >> a)).astype(jnp.int32)
+    Gt = jnp.take(G.reshape((8,) + lead + (n,)), idx_t, axis=-1)
+    Gt = Gt.reshape((8,) + lead + (B, A))
+
+    H = _bitrev_axis2(_pease_axis2(Gt, powsB, b), b)
+    # flat(H)[k2*A + k1] = out[k1 + A*k2]: already the natural order
+    return H.reshape((8,) + lead + (n,))
 
 
 def ntt(coeffs, pows=None):
@@ -117,7 +179,7 @@ def ntt(coeffs, pows=None):
     assert 1 << log_n == n, "size must be a power of two"
     if pows is None:
         pows = gen_pows(log_n)
-    return bit_reverse(_ntt_stages(coeffs, pows, log_n))
+    return _ntt_fourstep(coeffs, pows, log_n)
 
 
 @jax.jit
@@ -133,7 +195,7 @@ def intt(evals, inv_pows=None):
     assert 1 << log_n == n
     if inv_pows is None:
         inv_pows = inv_gen_pows(log_n)
-    x = bit_reverse(_ntt_stages(evals, inv_pows, log_n))
+    x = _ntt_fourstep(evals, inv_pows, log_n)
     n_inv = limbs.pack_scalar(Fp(n).inv())
     return _scale(x, jnp.asarray(n_inv))
 
