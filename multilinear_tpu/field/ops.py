@@ -238,9 +238,42 @@ def _wide_mul_cols(al, bl):
     return cols
 
 
+# The tree-structured product materializes the (8 x 8)-limb outer product
+# (64 uint32 planes = 256 B per element).  Above this many value elements
+# the multiply runs chunk-by-chunk under fori_loop so the temp stays ~1 GB
+# instead of value_size * 256 B (8 GB at 2^25 - an instant HBM OOM).
+_MUL_CHUNK = 1 << 22
+
+
 @jax.jit
 def mul(a, b):
     """(a * b) mod p.  The hot primitive."""
+    total = 1
+    for d in a.shape[1:]:
+        total *= d
+    if a.shape == b.shape and total > _MUL_CHUNK:
+        S = a.shape[1:]
+        af = a.reshape(8, total)
+        bf = b.reshape(8, total)
+        k = -(-total // _MUL_CHUNK)
+        pad = k * _MUL_CHUNK - total
+        if pad:
+            af = jnp.pad(af, ((0, 0), (0, pad)))
+            bf = jnp.pad(bf, ((0, 0), (0, pad)))
+
+        def body(i, out):
+            sa = jax.lax.dynamic_slice(af, (0, i * _MUL_CHUNK), (8, _MUL_CHUNK))
+            sb = jax.lax.dynamic_slice(bf, (0, i * _MUL_CHUNK), (8, _MUL_CHUNK))
+            return jax.lax.dynamic_update_slice(out, _mul_core(sa, sb), (0, i * _MUL_CHUNK))
+
+        out = jax.lax.fori_loop(0, k, body, jnp.zeros_like(af))
+        if pad:
+            out = out[:, :total]
+        return out.reshape((8,) + S)
+    return _mul_core(a, b)
+
+
+def _mul_core(a, b):
     al, bl = _split(a), _split(b)
     cols = _wide_mul_cols(al, bl)  # 16 columns, each < 2^20
     t, cy = _carry_normalize(cols, 16)  # product < 2^256: carry provably 0
