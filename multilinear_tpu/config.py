@@ -20,6 +20,25 @@ class ProverConfig:
     host_threshold: int = 1 << 12
     # mesh: None = single device; otherwise the number of devices to span
     mesh_devices: Optional[int] = None
+    # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
+    # SHA-256 layers).  None = auto: on when running on a single real TPU
+    # device; off on CPU and under multi-device GSPMD sharding (Pallas
+    # calls are opaque to the XLA partitioner - the sharded path keeps the
+    # jnp kernels).  True/False force.  Purely a performance knob;
+    # results are bit-identical (pinned by tests/test_pallas.py).
+    use_pallas: Optional[bool] = None
+
+
+def pallas_enabled() -> bool:
+    import jax
+
+    cfg = get_config()
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    try:
+        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+    except Exception:
+        return False
 
     # NOTE: the protocol parameters LOG_BLOWUP (ntt.py) and NUM_QUERIES
     # (fri.py) are module constants, not config: changing them changes the

@@ -36,8 +36,8 @@ import numpy as np
 
 from .limbs import K_LIMBS, LIMB_MASK, NLIMBS, P_LIMBS
 
-_P = [jnp.uint32(int(x)) for x in P_LIMBS]
-_K = [jnp.uint32(int(x)) for x in K_LIMBS]  # 3 limbs of K = 45*2^40 - 1
+_P = [np.uint32(int(x)) for x in P_LIMBS]  # np scalars: safe to close over in Pallas kernels
+_K = [np.uint32(int(x)) for x in K_LIMBS]  # 3 limbs of K = 45*2^40 - 1
 
 # ---------------------------------------------------------------------------
 # limb-list helpers.  A "limb list" is a Python list of equally-shaped uint32
@@ -72,7 +72,7 @@ LIMB_BITS_SHIFT = 16
 def _sub_chain(a, b):
     """Subtract clean limb lists (a - b); return (limbs, borrow in {0,1})."""
     out = []
-    borrow = jnp.uint32(0)
+    borrow = np.uint32(0)
     for x, y in zip(a, b):
         yb = y + borrow  # <= 2^16, no overflow
         d = x - yb  # uint32 wraparound; low 16 bits are the true limb
@@ -127,7 +127,7 @@ def add(a, b):
     s, carry = _add_chain(al, bl)
     # carry==1  =>  a+b = 2^128 + s_lo, and a+b - p = s_lo + K  (< p, no carry)
     # carry==0  =>  result is s mod p via one conditional subtract.
-    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in _K]
+    k_or_zero = [jnp.where(carry != 0, k, np.uint32(0)) for k in _K]
     k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
     t, _ = _add_chain(s, k_or_zero)
     return _join(_canon_sub_p(t))
@@ -140,7 +140,7 @@ def sub(a, b):
     d, borrow = _sub_chain(al, bl)
     # borrow==1 => true value is d + 2^128 - ... we want a-b+p = d - K (no borrow:
     # d >= 2^128 - p + 1 = K + 1 whenever a < b).
-    k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in _K]
+    k_or_zero = [jnp.where(borrow != 0, k, np.uint32(0)) for k in _K]
     k_or_zero += [jnp.zeros_like(d[0])] * (NLIMBS - 3)
     out, _ = _sub_chain(d, k_or_zero)
     return _join(out)
@@ -152,7 +152,7 @@ def neg(a):
     al = _split(a)
     d, _ = _sub_chain(_P, al)
     is_zero = is_zero_mask(a)
-    return _join([jnp.where(is_zero, jnp.uint32(0), x) for x in d])
+    return _join([jnp.where(is_zero, np.uint32(0), x) for x in d])
 
 
 def is_zero_mask(a):
@@ -251,6 +251,13 @@ def mul(a, b):
     total = 1
     for d in a.shape[1:]:
         total *= d
+    if a.shape == b.shape and total >= 4096:
+        from ..config import pallas_enabled
+
+        if pallas_enabled():
+            from . import pallas_ops
+
+            return pallas_ops.mul(a, b)
     if a.shape == b.shape and total > _MUL_CHUNK:
         S = a.shape[1:]
         af = a.reshape(8, total)
@@ -304,9 +311,9 @@ def mul_small(a, k: int):
     if k == 1:
         return a
     al = _split(a)
-    kk = jnp.uint32(k)
+    kk = np.uint32(k)
     out = []
-    carry = jnp.uint32(0)
+    carry = np.uint32(0)
     for i in range(NLIMBS):
         v = al[i] * kk + carry  # < 2^32 (a_i*k < 2^32-2^16, carry < 2^16)
         out.append(v & LIMB_MASK)
@@ -317,7 +324,7 @@ def mul_small(a, k: int):
     w, cw = _add_chain(out, addend)
     # w < 2^128 + 2^62 may carry into 2^128: fold once more (cw in {0,1};
     # if cw==1 then w < 2^62 so adding K cannot carry).
-    k_or_zero = [jnp.where(cw != 0, kj, jnp.uint32(0)) for kj in _K]
+    k_or_zero = [jnp.where(cw != 0, kj, np.uint32(0)) for kj in _K]
     k_or_zero += [jnp.zeros_like(al[0])] * (NLIMBS - 3)
     w2, _ = _add_chain(w, k_or_zero)
     return _join(_canon_sub_p(w2))
@@ -352,7 +359,7 @@ def normalize_wide(limbs32, extra_bits=16):
             kh = _mul_k([t[8]])
             addend = kh + [jnp.zeros_like(t[0])] * 4
             w, cw = _add_chain(t[:8], addend)
-            k_or_zero = [jnp.where(cw != 0, kj, jnp.uint32(0)) for kj in _K]
+            k_or_zero = [jnp.where(cw != 0, kj, np.uint32(0)) for kj in _K]
             k_or_zero += [jnp.zeros_like(t[0])] * (NLIMBS - 3)
             t, _ = _add_chain(w, k_or_zero)
     return _join(_canon_sub_p(t))

@@ -1,0 +1,255 @@
+"""Pallas (Mosaic) TPU kernels for the hot field primitives.
+
+The pure-jnp kernels in :mod:`multilinear_tpu.field.ops` lower to XLA
+fusions that materialize the 64-plane outer product and the carry chains
+in HBM (the chunked ``mul`` path literally writes them); at 2^20+ elements
+the multiply is HBM-bandwidth-bound at ~10x its compute roofline.  These
+Pallas kernels keep every intermediate of the schoolbook product and the
+sparse-modulus reduction in VMEM/vregs: per element the multiply touches
+HBM for exactly 64 B read + 32 B write.
+
+The math is limb-for-limb identical to ``ops._mul_core`` (same column
+sums, same three-fold reduction, same canonical subtract), so results are
+bit-exact vs the jnp path - pinned by tests/test_pallas.py in interpreter
+mode and by the on-TPU parity script.
+
+Reference semantics: winterfell f128 canonical arithmetic
+(reference src/field.rs); this file only changes WHERE the limb ops run,
+not what they compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_MASK, NLIMBS
+
+# Each grid step processes _SUB*128 elements; value vectors inside the
+# kernel are (_SUB, 128) tiles so every op uses all 8 VPU sublanes.
+_BLK = 1024  # flat lane multiple per grid step = _SUB * 128
+_SUB = 8  # sublane tile: each limb is an (8, 128) full vreg per grid step
+
+_MASK = int(LIMB_MASK)
+
+
+def _wide_cols(al, bl):
+    """Column sums of the 2^16-radix product via lo/hi split accumulation.
+
+    Same values as ops._wide_mul_cols but built limb-list-wise with NO
+    stacked 3-D intermediates (Mosaic cannot lower the pad-and-add tree's
+    strided gathers; straight-line unrolled code lowers cleanly and lives
+    in vregs anyway).  Accumulators stay < min(La,Lb)*2^16 * 2 < 2^20.
+    """
+    La, Lb = len(al), len(bl)
+    nc = La + Lb - 1
+    zero = jnp.zeros_like(al[0])
+    cols_lo = [zero] * nc
+    cols_hi = [zero] * nc
+    for i in range(La):
+        for j in range(Lb):
+            p = al[i] * bl[j]  # 16x16 -> 32 exact
+            k = i + j
+            cols_lo[k] = cols_lo[k] + (p & _MASK)
+            cols_hi[k] = cols_hi[k] + (p >> 16)
+    # t_k = cols_lo[k] + cols_hi[k-1]  (hi halves weigh one limb more)
+    return [cols_lo[0]] + [
+        (cols_lo[k] if k < nc else zero) + cols_hi[k - 1] for k in range(1, nc + 1)
+    ]
+
+
+def _mul_k_limbs(hi):
+    """hi (clean limb list, len L) * K  -> L+3 clean limbs (ops._mul_k)."""
+    from . import ops
+
+    k_arrs = [jnp.broadcast_to(jnp.asarray(k), hi[0].shape) for k in ops._K]
+    cols = _wide_cols(hi, k_arrs)
+    out, _ = ops._carry_normalize(cols, len(hi) + 3)
+    return out
+
+
+def _fold_ge8_limbs(t):
+    """One sparse-modulus fold t[:8] + K*t[8:] (ops._fold_ge8)."""
+    from . import ops
+
+    lo, hi = t[:8], t[8:]
+    kh = _mul_k_limbs(hi)
+    n = max(8, len(kh))
+    a = lo + [jnp.zeros_like(lo[0])] * (n - 8)
+    b = kh + [jnp.zeros_like(lo[0])] * (n - len(kh))
+    return ops._add_chain(a, b)
+
+
+def _mul_limbs(al, bl):
+    """Schoolbook product + sparse-modulus reduction on 8-limb lists.
+
+    al, bl: lists of 8 same-shaped uint32 arrays (clean limbs < 2^16).
+    Returns 8 clean limbs of (a*b) mod p.  Identical math to
+    ops._mul_core: column sums via lo/hi split (bounded < 2^20), one
+    carry chain, three bounded folds by K = 45*2^40 - 1, one conditional
+    subtract of p.
+    """
+    from . import ops
+
+    cols = _wide_cols(al, bl)
+    t, _ = ops._carry_normalize(cols, 16)
+    y, _ = _fold_ge8_limbs(t)
+    z, cz = _fold_ge8_limbs(y[:11])
+    z = z + [cz]
+    kh = _mul_k_limbs([z[8]])
+    addend = kh + [jnp.zeros_like(z[0])] * 4
+    w, _ = ops._add_chain(z[:8], addend)
+    return ops._canon_sub_p(w)
+
+
+def _mul_kernel(a_ref, b_ref, o_ref):
+    al = [a_ref[i] for i in range(NLIMBS)]
+    bl = [b_ref[i] for i in range(NLIMBS)]
+    out = _mul_limbs(al, bl)
+    for i in range(NLIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnames=("sub",))
+def _mul_flat(a, b, sub: int = _SUB):
+    """(8, M, 128) x (8, M, 128) field multiply, M a multiple of sub.
+
+    Each grid step works on an (8, sub, 128) block; slicing limb l yields
+    a (sub, 128) tile that fills all 8 VPU sublanes (a (1, blk) row layout
+    would use 1 of 8 sublanes and run the whole kernel at 1/8 throughput).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = a.shape[1]
+    grid = (m // sub,)
+    spec = pl.BlockSpec(
+        (NLIMBS, sub, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, m, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+    )(a, b)
+
+
+def mul(a, b):
+    """(a * b) mod p via the Pallas kernel; shapes must match.
+
+    Flattens value dims, pads the lane axis to a block multiple, and
+    restores the shape.  Callers guarantee canonical (< p) inputs.
+    """
+    assert a.shape == b.shape
+    S = a.shape[1:]
+    total = 1
+    for d in S:
+        total *= d
+    af = a.reshape(NLIMBS, total)
+    bf = b.reshape(NLIMBS, total)
+    pad = (-total) % _BLK
+    if pad:
+        af = jnp.pad(af, ((0, 0), (0, pad)))
+        bf = jnp.pad(bf, ((0, 0), (0, pad)))
+    n = af.shape[1]
+    out = _mul_flat(
+        af.reshape(NLIMBS, n // 128, 128), bf.reshape(NLIMBS, n // 128, 128)
+    ).reshape(NLIMBS, n)
+    if pad:
+        out = out[:, :total]
+    return out.reshape((NLIMBS,) + S)
+
+
+# ---------------------------------------------------------------------------
+# fused FRI fold:  next = ((a + b) + r * (a - b) * tw) * 1/2
+# one pass, three in-VMEM multiplies, 96 B read + 32 B write per output.
+# ---------------------------------------------------------------------------
+
+
+def _fold_kernel(a_ref, b_ref, tw_ref, r_ref, h_ref, o_ref):
+    from . import ops
+
+    al = [a_ref[i] for i in range(NLIMBS)]
+    bl = [b_ref[i] for i in range(NLIMBS)]
+    tw = [tw_ref[i] for i in range(NLIMBS)]
+    shape = al[0].shape
+    rl = [jnp.broadcast_to(r_ref[i], shape) for i in range(NLIMBS)]
+    hl = [jnp.broadcast_to(h_ref[i], shape) for i in range(NLIMBS)]
+
+    even, carry = ops._add_chain(al, bl)
+    # a + b < 2p: reduce exactly as ops.add does
+    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(even[0])] * (NLIMBS - 3)
+    even, _ = ops._add_chain(even, k_or_zero)
+    even = ops._canon_sub_p(even)
+
+    diff, borrow = ops._sub_chain(al, bl)
+    k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(diff[0])] * (NLIMBS - 3)
+    odd, _ = ops._sub_chain(diff, k_or_zero)
+
+    odd = _mul_limbs(odd, tw)
+    odd = _mul_limbs(rl, odd)
+
+    s, carry = ops._add_chain(even, odd)
+    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
+    s, _ = ops._add_chain(s, k_or_zero)
+    s = ops._canon_sub_p(s)
+
+    out = _mul_limbs(s, hl)
+    for i in range(NLIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnames=("sub",))
+def _fold_flat(a, b, tw, r_limbs, half_limbs, sub: int = _SUB):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = a.shape[1]
+    grid = (m // sub,)
+    spec = pl.BlockSpec(
+        (NLIMBS, sub, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (NLIMBS, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _fold_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, m, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[spec, spec, spec, sspec, sspec],
+        out_specs=spec,
+    )(a, b, tw, r_limbs.reshape(NLIMBS, 1, 1), half_limbs.reshape(NLIMBS, 1, 1))
+
+
+def fold_codeword(code, twiddles, r_limbs, half_limbs):
+    """One FRI fold (8, m) -> (8, m/2), fully fused in VMEM.
+
+    Same semantics as fri._fold_codeword: next[i] = ((a+b) + r*(a-b)*tw)/2.
+    """
+    m = code.shape[-1]
+    half = m // 2
+    a, b = code[..., :half], code[..., half:]
+    tw = twiddles
+    pad = (-half) % _BLK
+    if pad:
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+        tw = jnp.pad(tw, ((0, 0), (0, pad)))
+    n = a.shape[1]
+    out = _fold_flat(
+        a.reshape(NLIMBS, n // 128, 128),
+        b.reshape(NLIMBS, n // 128, 128),
+        tw.reshape(NLIMBS, n // 128, 128),
+        r_limbs,
+        half_limbs,
+    ).reshape(NLIMBS, n)
+    if pad:
+        out = out[:, :half]
+    return out

@@ -58,6 +58,13 @@ def _fold_codeword(code, twiddles, r_limbs, half_limbs):
     """
     m = code.shape[-1]
     half = m // 2
+    if code.ndim == 2 and half >= 4096:
+        from .config import pallas_enabled
+
+        if pallas_enabled():
+            from .field import pallas_ops
+
+            return pallas_ops.fold_codeword(code, twiddles, r_limbs, half_limbs)
     a, b = code[..., :half], code[..., half:]
     even = ops.add(a, b)
     odd = ops.mul(ops.sub(a, b), twiddles)
@@ -222,6 +229,19 @@ class FriProverData:
         return data
 
     def fold_roots(self) -> List[bytes]:
+        # bulk-fetch all device trees' root digests in one transfer before
+        # the per-tree root_bytes() calls (which would each pay a tunnel
+        # round-trip for 32 bytes).
+        pending = [
+            t for t in self.trees
+            if isinstance(t, MerkleTree) and t._root_bytes is None
+        ]
+        if pending:
+            from .sha256 import digests_to_bytes
+
+            fetched = jax.device_get(tuple(t.layers[-1] for t in pending))
+            for t, words in zip(pending, fetched):
+                t._root_bytes = digests_to_bytes(words)[0].tobytes()
         return [t.root_bytes() for t in self.trees]
 
     def open_queries(self, indices: Sequence[int]) -> List["QueryProof"]:

@@ -139,8 +139,8 @@ class MerkleTree:
         """Open many indices at once: ONE device dispatch gathers all leaf
         payloads and sibling digests for every query and level."""
         idx = np.asarray(list(indices), dtype=np.int32)
-        vals_dev, sibs_dev = _gather_openings(
-            tuple(self.layers), self.leaf_columns, jnp.asarray(idx)
+        vals_dev, sibs_dev = jax.device_get(
+            _gather_openings(tuple(self.layers), self.leaf_columns, jnp.asarray(idx))
         )
         return _assemble_paths(vals_dev, sibs_dev, idx)
 
@@ -153,6 +153,10 @@ class MerkleTree:
             tuple(t.leaf_columns for t in trees),
             tuple(jnp.asarray(ix) for ix in idx_arrays),
         )
+        # ONE bulk device->host fetch for every tree's gathered arrays: per-
+        # array np.asarray would pay a tunnel round-trip each (~8 trees x 2
+        # arrays dominated the whole query phase at 2^20).
+        outs = jax.device_get(outs)
         return [
             _assemble_paths(vals, sibs, ix)
             for (vals, sibs), ix in zip(outs, idx_arrays)

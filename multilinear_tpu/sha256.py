@@ -93,6 +93,13 @@ def sha256_words(msg_words, n_words: int):
     length = 4*n_words, same for every lane).  Returns (8,) + S digest words.
     """
     S = msg_words.shape[1:]
+    if len(S) == 1 and S[0] >= 512:
+        from .config import pallas_enabled
+
+        if pallas_enabled():
+            from . import sha256_pallas
+
+            return sha256_pallas.sha256_words(msg_words, n_words)
     bit_len = 32 * n_words
     # number of 64-byte blocks after the mandatory 0x80... + 8-byte length pad
     n_blocks = (n_words + 1 + 2 + 15) // 16
