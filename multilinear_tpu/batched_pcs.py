@@ -96,18 +96,31 @@ class BatchedPCSProof:
 
         previous_sum = fingerprint(fri_data.fingerprint_r, claim.outputs)
         pols: List[SumcheckPoly] = []
-        from .pcs import fused_pcs_fold
+        from .pcs import _device_rounds, fused_pcs_fold
 
-        for k in range(n_vars):
+        # round 0: batched fold (host-driven - it draws fingerprint-linked
+        # state and hits the batch layer exactly once)
+        pol, r, previous_sum = tables.round_poly(
+            identity_composition, 2, previous_sum, transcript
+        )
+        pols.append(pol)
+        tables.fold(r)
+        fri_data.batched_fold_step(r, transcript)
+
+        # rounds 1..: stream full rounds on device (Fiat-Shamir included,
+        # zero per-round host sync), exactly as the plain PCS does; the
+        # global FRI twiddle stride continues at k=1.
+        dev_rounds, dev_pols, previous_sum = _device_rounds(
+            tables, fri_data.fri_data, transcript, previous_sum, start_k=1
+        )
+        pols.extend(dev_pols)
+
+        for k in range(1 + dev_rounds, n_vars):
             pol, r, previous_sum = tables.round_poly(
                 identity_composition, 2, previous_sum, transcript
             )
             pols.append(pol)
-            if k == 0:
-                tables.fold(r)
-                fri_data.batched_fold_step(r, transcript)
-            else:
-                fused_pcs_fold(tables, fri_data.fri_data, k, r, transcript)
+            fused_pcs_fold(tables, fri_data.fri_data, k, r, transcript)
         assert fri_data.fri_data.last_element is not None
 
         domain_size = 1 << log_domain_size

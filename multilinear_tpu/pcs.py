@@ -112,8 +112,13 @@ def _device_rounds(
     fri_data: FriProverData,
     transcript: Transcript,
     previous_sum: Fp,
+    start_k: int = 0,
 ):
     """Run as many full PCS rounds as possible entirely on device.
+
+    ``start_k``: the global FRI round index of the first round (the fold
+    twiddle stride is 2^k relative to the ORIGINAL domain) - 0 for the
+    plain PCS, 1 when resuming after the batched PCS's batched round 0.
 
     Returns (rounds_done, pols, new_previous_sum) and leaves both the
     tables/FRI state and the CALLER'S transcript advanced exactly as the
@@ -141,7 +146,7 @@ def _device_rounds(
         half = m // 2
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
-        tw = inv_pows[:, :: 1 << k][:, :half]
+        tw = inv_pows[:, :: 1 << (start_k + k)][:, :half]
         new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
             tables.data, fri_data._current, tw, tr_state, prev
         )

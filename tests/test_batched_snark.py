@@ -216,3 +216,37 @@ def test_batched_pcs_full_transcript_matches_golden():
     assert proof.fri_proof.last_elem.v == last_elem
     assert proof.fri_proof.last_random == final_state
     assert transcript.random() == final_state
+
+
+def test_batched_pcs_device_rounds_bit_identical():
+    """Batched PCS with streaming device rounds == pure host-tail path,
+    byte for byte (device Fiat-Shamir + start_k=1 twiddle stride)."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.serialize import batched_pcs_proof_to_bytes
+
+    n_vars = 7
+    height = 1 << n_vars
+    B = 3
+    inputs = [Fp(i + 4) for i in range(n_vars)]
+    vals = []
+    for j in range(B):
+        vals.extend(Fp(i * 11 + j * 17 + 2) for i in range(height))
+    polys = _device(vals, shape=(B, height))
+    from multilinear_tpu.mle import evaluate_evals_host
+
+    outputs = [evaluate_evals_host(polys[:, j], inputs) for j in range(B)]
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
+        ref = BatchedPCSProof.prove(
+            BatchedPCSClaim(list(inputs), list(outputs)), polys, Transcript()
+        )
+        set_config(ProverConfig(host_threshold=16))  # device rounds + device FS
+        got = BatchedPCSProof.prove(
+            BatchedPCSClaim(list(inputs), list(outputs)), polys, Transcript()
+        )
+    finally:
+        set_config(old)
+    assert batched_pcs_proof_to_bytes(got) == batched_pcs_proof_to_bytes(ref)
+    got.verify(Transcript())
