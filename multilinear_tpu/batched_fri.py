@@ -137,15 +137,17 @@ class BatchedFriProverData:
         n = self._codes.shape[-1]
         if n <= blowup:
             return
+        from .fri import _fold_codeword_k
+
         rlc = _fingerprint_codes(self._codes, jnp.asarray(limbs.pack_scalar(self.fingerprint_r)))
         half = n // 2
         inv_pows = inv_gen_pows(self._log_domain)
-        tw = inv_pows[:, :half]
-        nxt = _fold_codeword(
+        nxt = _fold_codeword_k(
             rlc,
-            tw,
+            inv_pows,
             jnp.asarray(limbs.pack_scalar(r)),
             jnp.asarray(limbs.pack_scalar(TWO_INV)),
+            0,
         )
         self.fri_data._current = nxt
         self.fri_data._maybe_to_host()

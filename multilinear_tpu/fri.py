@@ -75,10 +75,15 @@ def _fold_codeword(code, twiddles, r_limbs, half_limbs):
 
 def _commit_code(code) -> MerkleTree:
     """Merkle-commit a codeword as (value, minus_value) pair leaves
-    (reference commit_rs_code, src/fri/mod.rs:46-56)."""
+    (reference commit_rs_code, src/fri/mod.rs:46-56).
+
+    The pair view IS the codeword buffer: (8, m) reshaped to (8, 2, m/2)
+    pairs leaf i with i + m/2 at zero copy (a stack would retain a full
+    duplicate of every layer's codeword for the query phase - 2x the
+    codeword footprint at 2^24, where HBM is the binding constraint).
+    """
     half = code.shape[-1] // 2
-    pairs = jnp.stack([code[..., :half], code[..., half:]], axis=1)  # (8, 2, half)
-    return MerkleTree.commit(pairs)
+    return MerkleTree.commit(code.reshape(8, 2, half))
 
 
 @jax.jit
@@ -92,9 +97,23 @@ def _fold_and_commit(code, twiddles, r_limbs, half_limbs):
 
     nxt = _fold_codeword(code, twiddles, r_limbs, half_limbs)
     half_n = nxt.shape[-1] // 2
-    pairs = jnp.stack([nxt[..., :half_n], nxt[..., half_n:]], axis=1)
+    pairs = nxt.reshape(8, 2, half_n)  # zero-copy pair view (see _commit_code)
     layers = _commit_layers(pairs, 2)
     return nxt, pairs, layers
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _fold_and_commit_k(code, inv_pows, r_limbs, half_limbs, k: int):
+    """_fold_and_commit with the stride-2^k twiddle slice done IN-JIT
+    (eager per-round slicing costs a tunnel dispatch each)."""
+    half = code.shape[-1] // 2
+    return _fold_and_commit(code, inv_pows[:, :: 1 << k][:, :half], r_limbs, half_limbs)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _fold_codeword_k(code, inv_pows, r_limbs, half_limbs, k: int):
+    half = code.shape[-1] // 2
+    return _fold_codeword(code, inv_pows[:, :: 1 << k][:, :half], r_limbs, half_limbs)
 
 
 def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
@@ -180,19 +199,18 @@ class FriProverData:
         if m <= blowup:
             return
         half = m // 2
-        inv_pows = inv_gen_pows(self._log_domain)  # (8, 2^log_domain)
-        tw = inv_pows[:, :: 1 << k][:, :half]
+        inv_pows = inv_gen_pows(self._log_domain)  # (8, 2^(log_domain-1))
         r_limbs = jnp.asarray(limbs.pack_scalar(r))
         half_limbs = jnp.asarray(limbs.pack_scalar(TWO_INV))
         if half > HOST_THRESHOLD() and half > blowup:
             # fused fold + full Merkle commit: one device dispatch per round
-            nxt, pairs, layers = _fold_and_commit(code, tw, r_limbs, half_limbs)
+            nxt, pairs, layers = _fold_and_commit_k(code, inv_pows, r_limbs, half_limbs, k)
             self._current = nxt
             tree = MerkleTree(list(layers), pairs)
             self.trees.append(tree)
             transcript.absorb(tree.root_bytes())
             return
-        nxt = _fold_codeword(code, tw, r_limbs, half_limbs)
+        nxt = _fold_codeword_k(code, inv_pows, r_limbs, half_limbs, k)
         self._current = nxt
         self._maybe_to_host()
         if half == blowup:
@@ -405,8 +423,8 @@ def encode_mle_for_fri(evals):
     sumcheck's MSB top/bottom-half fold (reference
     multilinear_pcs.rs:101-107, Q8).
     """
-    from .ntt import _ntt_fourstep, gen_pows
+    from .ntt import _ntt_fourstep_donated, gen_pows
 
     padded = _coeffs_for_fri(evals)
     log_m = padded.shape[-1].bit_length() - 1
-    return _ntt_fourstep(padded, gen_pows(log_m), log_m)
+    return _ntt_fourstep_donated(padded, gen_pows(log_m), log_m)

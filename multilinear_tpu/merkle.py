@@ -63,6 +63,67 @@ def _commit_layers(leaf_columns, B: int):
     return tuple(layers)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _leaf_hashes(leaf_columns, B: int):
+    """Hash the leaf level only: (8, B, n) -> (8, n) digest words."""
+    words = jnp.concatenate(
+        [limbs_to_words(leaf_columns[:, b, :]) for b in range(B)], axis=0
+    )
+    return sha256_words(words, 4 * B)
+
+
+@jax.jit
+def _tree_levels(leaves):
+    """All levels above the leaf digests: (8, n) -> tuple of (8, n/2)..."""
+    cur = leaves
+    layers = []
+    while cur.shape[1] > 1:
+        pairs = cur.reshape(8, cur.shape[1] // 2, 2)
+        left, right = pairs[:, :, 0], pairs[:, :, 1]
+        msg = jnp.concatenate([left, right], axis=0)  # (16, n/2) words
+        cur = sha256_words(msg, 16)
+        layers.append(cur)
+    return tuple(layers)
+
+
+@jax.jit
+def _one_level(cur):
+    """One tree level as its own program: (8, n) -> (8, n/2)."""
+    pairs = cur.reshape(8, cur.shape[1] // 2, 2)
+    msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+    return sha256_words(msg, 16)
+
+
+# Above this leaf count the single fused commit program exceeds the
+# backend's per-program resource budget (the axon TPU rejects programs
+# whose live allocations total ~2 GiB with RESOURCE_EXHAUSTED, while the
+# same buffers and the same work split across dispatches are fine).
+# Chunk the leaf hashing and the big levels into bounded dispatches and
+# fuse only the small tail of the tree.
+_COMMIT_FUSE_MAX = 1 << 23
+_COMMIT_CHUNK = 1 << 22
+
+
+def _commit_layers_chunked(leaf_columns, B: int):
+    n = leaf_columns.shape[-1]
+    leaf_digs = [
+        _leaf_hashes(leaf_columns[:, :, s : s + _COMMIT_CHUNK], B)
+        for s in range(0, n, _COMMIT_CHUNK)
+    ]
+    cur = jnp.concatenate(leaf_digs, axis=1)
+    layers = [cur]
+    # big levels: one bounded program per slice (slices at even offsets keep
+    # sibling pairs intact)
+    while cur.shape[1] > _COMMIT_FUSE_MAX:
+        m = cur.shape[1]
+        step = 2 * _COMMIT_CHUNK
+        outs = [_one_level(cur[:, s : s + step]) for s in range(0, m, step)]
+        cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        layers.append(cur)
+    layers.extend(_tree_levels(cur))
+    return tuple(layers)
+
+
 def _gather_one(layers, leaf_columns, idx):
     vals = jnp.take(leaf_columns, idx, axis=2)
     sibs = []
@@ -122,6 +183,10 @@ class MerkleTree:
         """
         _, B, n = leaf_columns.shape
         assert n & (n - 1) == 0, "leaf count must be a power of two"
+        if n > _COMMIT_FUSE_MAX:
+            return MerkleTree(
+                list(_commit_layers_chunked(leaf_columns, B)), leaf_columns
+            )
         return MerkleTree(list(_commit_layers(leaf_columns, B)), leaf_columns)
 
     # -- accessors -----------------------------------------------------------

@@ -120,8 +120,7 @@ def _bitrev_axis2(x, log_m: int):
     return jnp.take(x, idx, axis=x.ndim - 2)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _ntt_fourstep(x, pows, log_n: int):
+def _ntt_fourstep_impl(x, pows, log_n: int):
     """Four-step NTT: natural order in, natural order out.
 
     n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), a twiddle-matrix
@@ -172,6 +171,15 @@ def _ntt_fourstep(x, pows, log_n: int):
     return H.reshape((8,) + lead + (n,))
 
 
+_ntt_fourstep = partial(jax.jit, static_argnums=(2,))(_ntt_fourstep_impl)
+# Donating variant for call sites whose input is transient (the RS-encode
+# pipeline): frees the 1 GB padded-coefficient buffer at 2^25, where HBM
+# is the binding constraint.
+_ntt_fourstep_donated = partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))(
+    _ntt_fourstep_impl
+)
+
+
 def ntt(coeffs, pows=None):
     """Forward NTT along the last axis: out[i] = p(g^i), natural order."""
     n = coeffs.shape[-1]
@@ -211,4 +219,6 @@ def reed_solomon(coeffs, log_blowup: int = LOG_BLOWUP):
     pad_width = [(0, 0)] * coeffs.ndim
     pad_width[-1] = (0, ((1 << log_blowup) - 1) * n)
     padded = jnp.pad(coeffs, pad_width)
-    return ntt(padded, gen_pows(log_n + log_blowup))
+    # padded is created here and never reused: donate it to the transform
+    log_m = log_n + log_blowup
+    return _ntt_fourstep_donated(padded, gen_pows(log_m), log_m)

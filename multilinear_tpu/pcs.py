@@ -46,17 +46,24 @@ from .sumcheck import SumcheckPoly, SumcheckTables, _fold_kernel, identity_compo
 from .transcript import Transcript
 
 
-@jax.jit
-def _pcs_round_tail(data, code, twiddles, r_limbs, half_limbs):
+@partial(jax.jit, static_argnums=(5,))
+def _pcs_round_tail(data, code, inv_pows, r_limbs, half_limbs, k: int):
     """Everything after the challenge, in ONE device dispatch: fold the
-    packed sumcheck table, fold the codeword, hash the next Merkle tree."""
+    packed sumcheck table, fold the codeword, hash the next Merkle tree.
+
+    The twiddle slice (stride 2^k of the inverse power table) happens
+    INSIDE the jit: eager per-round slicing costs a device dispatch each
+    over the remote tunnel.
+    """
+    half = code.shape[-1] // 2
+    twiddles = inv_pows[:, :: 1 << k][:, :half]
     new_data = _fold_kernel(data, r_limbs)
     nxt, pairs, layers = _fold_and_commit(code, twiddles, r_limbs, half_limbs)
     return new_data, nxt, pairs, layers
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _device_pcs_round(data, code, twiddles, tr_state, prev_sum):
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
+def _device_pcs_round(data, code, inv_pows, tr_state, prev_sum, k: int):
     """One COMPLETE PCS round on device, Fiat-Shamir included.
 
     Computes the round polynomial, absorbs its nonzero coefficients into
@@ -101,6 +108,8 @@ def _device_pcs_round(data, code, twiddles, tr_state, prev_sum):
     new_prev = ops.add(s0.reshape(8, 1), ops.mul(rr, inner))[:, 0]
 
     half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
+    half = code.shape[-1] // 2
+    twiddles = inv_pows[:, :: 1 << k][:, :half]
     new_data = _fold_kernel(data, r)
     nxt, pairs, layers = _fold_and_commit(code, twiddles, r, half_limbs)
     tr = dtr.absorb_words(tr, layers[-1][:, 0])
@@ -146,9 +155,8 @@ def _device_rounds(
         half = m // 2
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
-        tw = inv_pows[:, :: 1 << (start_k + k)][:, :half]
         new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
-            tables.data, fri_data._current, tw, tr_state, prev
+            tables.data, fri_data._current, inv_pows, tr_state, prev, start_k + k
         )
         tables.apply_folded(new_data)
         fri_data._current = nxt
@@ -186,13 +194,13 @@ def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: F
         half = m // 2
         if half > blowup and half > HOST_THRESHOLD():
             inv_pows = inv_gen_pows(fri_data._log_domain)
-            tw = inv_pows[:, :: 1 << k][:, :half]
             new_data, nxt, pairs, layers = _pcs_round_tail(
                 tables.data,
                 fri_data._current,
-                tw,
+                inv_pows,
                 jnp.asarray(limbs.pack_scalar(r)),
                 jnp.asarray(limbs.pack_scalar(TWO_INV)),
+                k,
             )
             tables.apply_folded(new_data)
             fri_data._current = nxt

@@ -113,3 +113,19 @@ def test_batched_device_merkle_columns():
     p = tree.open(3)
     assert [v.v for v in p.values] == [data[b][3] for b in range(B)]
     assert p.verify(tree.root_bytes(), 3)
+
+
+def test_chunked_commit_matches_fused(monkeypatch):
+    """The chunked large-tree commit path == the fused single-program path."""
+    import multilinear_tpu.merkle as mk
+
+    vals = [Fp(i * 31 + 5) for i in range(512)]
+    cols = jnp.asarray(limbs.pack_ints(vals)).reshape(8, 2, 256)
+    ref = mk.MerkleTree.commit(cols)
+    monkeypatch.setattr(mk, "_COMMIT_FUSE_MAX", 64)
+    monkeypatch.setattr(mk, "_COMMIT_CHUNK", 64)
+    got = mk.MerkleTree.commit(cols)
+    assert got.root_bytes() == ref.root_bytes()
+    assert len(got.layers) == len(ref.layers)
+    for a, b in zip(got.layers, ref.layers):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
