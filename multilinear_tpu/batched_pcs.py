@@ -109,18 +109,24 @@ class BatchedPCSProof:
 
         # rounds 1..: stream full rounds on device (Fiat-Shamir included,
         # zero per-round host sync), exactly as the plain PCS does; the
-        # global FRI twiddle stride continues at k=1.
-        dev_rounds, dev_pols, previous_sum = _device_rounds(
-            tables, fri_data.fri_data, transcript, previous_sum, start_k=1
-        )
-        pols.extend(dev_pols)
-
-        for k in range(1 + dev_rounds, n_vars):
+        # global FRI twiddle stride continues at k=1.  Oversized rounds
+        # (program budget) run host-driven with chunked kernels, then
+        # streaming resumes.
+        k = 1
+        while k < n_vars:
+            dev_rounds, dev_pols, previous_sum = _device_rounds(
+                tables, fri_data.fri_data, transcript, previous_sum, start_k=k
+            )
+            if dev_rounds:
+                pols.extend(dev_pols)
+                k += dev_rounds
+                continue
             pol, r, previous_sum = tables.round_poly(
                 identity_composition, 2, previous_sum, transcript
             )
             pols.append(pol)
             fused_pcs_fold(tables, fri_data.fri_data, k, r, transcript)
+            k += 1
         assert fri_data.fri_data.last_element is not None
 
         domain_size = 1 << log_domain_size

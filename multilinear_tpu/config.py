@@ -20,6 +20,15 @@ class ProverConfig:
     host_threshold: int = 1 << 12
     # mesh: None = single device; otherwise the number of devices to span
     mesh_devices: Optional[int] = None
+    # The axon TPU backend rejects single programs whose live allocations
+    # total roughly 2 GiB (RESOURCE_EXHAUSTED).  Rounds whose codeword is
+    # LONGER than this cap run as several bounded dispatches (chunked
+    # partial sums / folds / commits) instead of one fused round program;
+    # at or below it the zero-sync streaming device round is used.
+    # Transcripts are identical either way (pinned by tests).
+    fused_round_max_code: int = 1 << 23
+    # Value elements per chunked dispatch in the big-round path.
+    kernel_chunk: int = 1 << 22
     # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
     # SHA-256 layers).  None = auto: on when running on a single real TPU
     # device; off on CPU and under multi-device GSPMD sharding (Pallas

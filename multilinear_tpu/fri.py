@@ -116,6 +116,44 @@ def _fold_codeword_k(code, inv_pows, r_limbs, half_limbs, k: int):
     return _fold_codeword(code, inv_pows[:, :: 1 << k][:, :half], r_limbs, half_limbs)
 
 
+@jax.jit
+def _fold_halves(a, b, twiddles, r_limbs, half_limbs):
+    """The fold formula on explicit halves - the bounded per-chunk program
+    of the big-round path."""
+    even = ops.add(a, b)
+    odd = ops.mul(ops.sub(a, b), twiddles)
+    rb = ops.broadcast_scalar(r_limbs, odd.shape[1:])
+    hb = ops.broadcast_scalar(half_limbs, odd.shape[1:])
+    return ops.mul(ops.add(even, ops.mul(rb, odd)), hb)
+
+
+def _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k: int):
+    """Fold an oversized codeword as bounded per-chunk dispatches.
+
+    One fused fold program at 2^25 exceeds the backend's ~2 GiB
+    per-program allocation budget; slicing the halves (pairing i with
+    i + m/2 is slice-aligned) keeps every dispatch bounded.  Bit-identical
+    to _fold_codeword (pinned by tests).
+    """
+    from .config import get_config
+
+    C = get_config().kernel_chunk
+    m = code.shape[-1]
+    half = m // 2
+    tw = inv_pows[:, :: 1 << k][:, :half] if k else inv_pows[:, :half]
+    outs = [
+        _fold_halves(
+            code[..., s : s + C],
+            code[..., half + s : half + s + C],
+            tw[..., s : s + C],
+            r_limbs,
+            half_limbs,
+        )
+        for s in range(0, half, C)
+    ]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
 def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
     half = code_bytes.shape[0] // 2
     return FieldHostTree([code_bytes[:half], code_bytes[half:]])
@@ -202,6 +240,16 @@ class FriProverData:
         inv_pows = inv_gen_pows(self._log_domain)  # (8, 2^(log_domain-1))
         r_limbs = jnp.asarray(limbs.pack_scalar(r))
         half_limbs = jnp.asarray(limbs.pack_scalar(TWO_INV))
+        from .config import get_config
+
+        if m > get_config().fused_round_max_code:
+            # oversized round: bounded chunked fold + chunked commit
+            nxt = _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k)
+            self._current = nxt
+            tree = MerkleTree.commit(nxt.reshape(8, 2, half // 2))
+            self.trees.append(tree)
+            transcript.absorb(tree.root_bytes())
+            return
         if half > HOST_THRESHOLD() and half > blowup:
             # fused fold + full Merkle commit: one device dispatch per round
             nxt, pairs, layers = _fold_and_commit_k(code, inv_pows, r_limbs, half_limbs, k)

@@ -150,9 +150,13 @@ def _device_rounds(
     inv_pows = inv_gen_pows(fri_data._log_domain)
     outs = []
     k = 0
+    from .config import get_config
+
     while True:
         m = fri_data._current.shape[-1]
         half = m // 2
+        if m > get_config().fused_round_max_code:
+            break  # oversized round: the chunked host-driven path handles it
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
         new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
@@ -188,11 +192,17 @@ def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: F
     the next layer is committed on device; falls back to the separate
     paths near the host-threshold tail.
     """
+    from .config import get_config
+
     blowup = 1 << LOG_BLOWUP
     if not tables.on_host and fri_data._current_host is None:
         m = fri_data._current.shape[-1]
         half = m // 2
-        if half > blowup and half > HOST_THRESHOLD():
+        if (
+            half > blowup
+            and half > HOST_THRESHOLD()
+            and m <= get_config().fused_round_max_code
+        ):
             inv_pows = inv_gen_pows(fri_data._log_domain)
             new_data, nxt, pairs, layers = _pcs_round_tail(
                 tables.data,
@@ -296,15 +306,24 @@ class PCSProverSession:
         )
         done = 0
         # device-transcript streaming only when running to completion keeps
-        # checkpoint boundaries simple; partial runs use the host path
-        if max_rounds is None and self.k == 0:
-            start_k, dev_pols, self.previous_sum = _device_rounds(
-                self.tables, self.fri_data, self.transcript, self.previous_sum
-            )
-            self.pols.extend(dev_pols)
-            self.k = start_k
-            done = start_k
+        # checkpoint boundaries simple; partial runs use the host path.
+        # Oversized leading rounds (program budget, config
+        # fused_round_max_code) run host-driven with chunked kernels; the
+        # zero-sync streaming resumes as soon as shapes fit.
         while self.k < end:
+            if max_rounds is None:
+                dev_done, dev_pols, self.previous_sum = _device_rounds(
+                    self.tables,
+                    self.fri_data,
+                    self.transcript,
+                    self.previous_sum,
+                    start_k=self.k,
+                )
+                if dev_done:
+                    self.pols.extend(dev_pols)
+                    self.k += dev_done
+                    done += dev_done
+                    continue
             pol, r, self.previous_sum = self.tables.round_poly(
                 identity_composition, 2, self.previous_sum, self.transcript
             )

@@ -91,17 +91,13 @@ def _lin_ext(lo, hi, r_limbs):
     return ops.add(lo, ops.mul(rb, ops.sub(hi, lo)))
 
 
-def _extensions(data, total_degree: int):
-    """Linear extensions of the packed table at X = 1..total_degree.
+def _extensions_pair(lo, hi, total_degree: int):
+    """Linear extensions at X = 1..total_degree from explicit table halves.
 
-    data: (8, w+1, h).  Returns a list of (8, w+1, h/2) arrays.  Uses the
-    incremental form ext(X+1) = ext(X) + (hi - lo): NO field multiplies -
-    the only muls of a round-poly evaluation are the composition itself
-    and the final delta product.
+    Uses the incremental form ext(X+1) = ext(X) + (hi - lo): NO field
+    multiplies - the only muls of a round-poly evaluation are the
+    composition itself and the final delta product.
     """
-    h = data.shape[-1]
-    off = h // 2
-    lo, hi = data[..., :off], data[..., off:]
     diff = ops.sub(hi, lo)
     exts = [hi]
     cur = hi
@@ -109,6 +105,16 @@ def _extensions(data, total_degree: int):
         cur = ops.add(cur, diff)
         exts.append(cur)
     return exts
+
+
+def _extensions(data, total_degree: int):
+    """Linear extensions of the packed table at X = 1..total_degree.
+
+    data: (8, w+1, h).  Returns a list of (8, w+1, h/2) arrays.
+    """
+    h = data.shape[-1]
+    off = h // 2
+    return _extensions_pair(data[..., :off], data[..., off:], total_degree)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -145,6 +151,62 @@ def _fold_kernel(data, r_limbs):
     h = data.shape[-1]
     off = h // 2
     return _lin_ext(data[..., :off], data[..., off:], r_limbs)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _partial_sums_pair_kernel(lo, hi, total_degree: int, composition: Composition):
+    """Partial sums from explicit (8, w+1, C) table halves - the bounded
+    per-chunk program of the big-round path (see _chunked_partial_sums)."""
+    w = lo.shape[1] - 1
+    exts = _extensions_pair(lo, hi, total_degree)
+    if composition is identity_composition:
+        dx = jnp.stack([e[:, w] for e in exts], axis=1)
+        mx = jnp.stack([e[:, 0] for e in exts], axis=1)
+        return ops.sum_mod(ops.mul(dx, mx), axis=2)
+    outs = []
+    for e in exts:
+        dx = e[:, w]
+        cols = [ops.FA(e[:, j]) for j in range(w)]
+        comp = composition(cols)
+        carr = comp.a if isinstance(comp, ops.FA) else ops.broadcast_scalar(
+            limbs.pack_scalar(comp), dx.shape[1:]
+        )
+        outs.append(ops.sum_mod(ops.mul(dx, carr), axis=1))
+    return jnp.stack(outs, axis=1)
+
+
+@jax.jit
+def _fold_pair_kernel(lo, hi, r_limbs):
+    return _lin_ext(lo, hi, r_limbs)
+
+
+def _chunked_partial_sums(data, total_degree: int, composition: Composition):
+    """Round-poly sums for oversized tables, as bounded per-chunk programs.
+
+    The axon backend rejects single programs with ~2 GiB of live
+    allocations; at 2^24 rows the one-shot partial-sum program is ~3 GiB.
+    Chunks are combined exactly (host big-int mod p), so the result is
+    bit-identical to the fused kernel.
+    """
+    from .config import get_config
+    from .field.scalar import P
+
+    C = get_config().kernel_chunk
+    h = data.shape[-1]
+    off = h // 2
+    totals = [0] * total_degree
+    chunk_sums = [
+        _partial_sums_pair_kernel(
+            data[..., s : s + C], data[..., off + s : off + s + C],
+            total_degree, composition,
+        )
+        for s in range(0, off, C)
+    ]
+    for dev in jax.device_get(chunk_sums):
+        vals = limbs.unpack_ints(np.asarray(dev))
+        for i in range(total_degree):
+            totals[i] = (totals[i] + int(vals[i])) % P
+    return totals
 
 
 def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
@@ -283,8 +345,13 @@ class SumcheckTables:
         if self.on_host:
             sums = self._partial_sums_host(composition, total_degree)
         else:
-            sums_dev = _partial_sums_kernel(self.data, total_degree, composition)
-            sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
+            from .config import get_config
+
+            if self.height > get_config().fused_round_max_code:
+                sums = _chunked_partial_sums(self.data, total_degree, composition)
+            else:
+                sums_dev = _partial_sums_kernel(self.data, total_degree, composition)
+                sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
         evals = [ZERO] * (total_degree + 1)
         for i in range(1, total_degree + 1):
             evals[i] = Fp(sums[i - 1])
@@ -353,6 +420,24 @@ class SumcheckTables:
             self.height = off
             return
         r_limbs = jnp.asarray(limbs.pack_scalar(r))
+        from .config import get_config
+
+        cfg = get_config()
+        if self.height > cfg.fused_round_max_code:
+            C = cfg.kernel_chunk
+            off = self.height >> 1
+            outs = [
+                _fold_pair_kernel(
+                    self.data[..., s : s + C],
+                    self.data[..., off + s : off + s + C],
+                    r_limbs,
+                )
+                for s in range(0, off, C)
+            ]
+            self.apply_folded(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+            )
+            return
         self.apply_folded(_fold_kernel(self.data, r_limbs))
 
     # -- all rounds (standalone sumcheck) ------------------------------------
