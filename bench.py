@@ -107,10 +107,12 @@ def bench_ntt(log_n: int):
     h = 1 << log_n
     vals = np.arange(h, dtype=np.uint64).tolist()
     coeffs = jnp.asarray(limbs.pack_ints(vals))
-    coeffs.block_until_ready()
-    ntt(coeffs).block_until_ready()  # warmup
+    # NOTE: block_until_ready is NOT a reliable completion barrier over the
+    # axon tunnel; a small device_get after the transform is.  The fetched
+    # slice is O(1) so it does not distort the measurement.
+    jax.device_get(ntt(coeffs)[:, :8])  # warmup
     t0 = time.perf_counter()
-    ntt(coeffs).block_until_ready()
+    jax.device_get(ntt(coeffs)[:, :8])
     return time.perf_counter() - t0
 
 

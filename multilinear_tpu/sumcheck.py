@@ -214,6 +214,123 @@ def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
     return cols[0]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _vandermonde_inv_limbs(n: int):
+    """V^{-1} over {0..n-1} as an (n, n, 8) limb array (device constant).
+
+    coeffs = V^{-1} @ evals reproduces PolynomialEvals.interpolate exactly
+    (interpolation is unique and both are exact field arithmetic), so the
+    on-device round-polynomial coefficients are bit-identical to the host
+    path's.
+    """
+    from .field.scalar import ONE, ZERO
+
+    V = [[Fp(i) ** j for j in range(n)] for i in range(n)]
+    I = [[ONE if i == j else ZERO for j in range(n)] for i in range(n)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if V[r][col] != ZERO)
+        V[col], V[piv] = V[piv], V[col]
+        I[col], I[piv] = I[piv], I[col]
+        inv = V[col][col].inv()
+        V[col] = [x * inv for x in V[col]]
+        I[col] = [x * inv for x in I[col]]
+        for r in range(n):
+            if r != col and V[r][col] != ZERO:
+                f = V[r][col]
+                V[r] = [a - f * b for a, b in zip(V[r], V[col])]
+                I[r] = [a - f * b for a, b in zip(I[r], I[col])]
+    arr = np.zeros((n, n, 8), np.uint32)
+    for j in range(n):
+        for i in range(n):
+            arr[j, i] = limbs.pack_scalar(I[j][i])
+    return jnp.asarray(arr)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(4, 5))
+def _device_sc_round(data, tr_state, prev, vinv, total_degree: int, composition):
+    """One COMPLETE standalone-sumcheck round on device, Fiat-Shamir
+    included: partial sums, s(0) recovery, interpolation (V^{-1} matvec),
+    coefficient absorption, challenge, fold, and the telescoped next sum.
+
+    Zero host synchronization - consecutive rounds stream through the
+    dispatch queue exactly like the PCS device rounds.
+    """
+    from . import device_transcript as dtr
+
+    sums = _partial_sums_kernel(data, total_degree, composition)  # (8, d)
+    s0 = ops.sub(prev.reshape(8, 1), sums[:, 0].reshape(8, 1))[:, 0]
+    evals = [s0] + [sums[:, i] for i in range(total_degree)]
+    coeffs = []
+    for j in range(total_degree + 1):
+        acc = None
+        for i in range(total_degree + 1):
+            term = ops.mul(vinv[j, i].reshape(8, 1), evals[i].reshape(8, 1))
+            acc = term if acc is None else ops.add(acc, term)
+        coeffs.append(acc[:, 0])
+    tr = tr_state
+    for c in coeffs[1:]:
+        tr = dtr.absorb_field_limbs(tr, c)
+    r = dtr.challenge(tr)
+    rr = r.reshape(8, 1)
+    acc = coeffs[-1].reshape(8, 1)
+    for c in reversed(coeffs[:-1]):
+        acc = ops.add(ops.mul(acc, rr), c.reshape(8, 1))
+    new_prev = acc[:, 0]
+    new_data = _fold_kernel(data, r)
+    return new_data, tr, (r, jnp.stack(coeffs[1:], axis=0), new_prev)
+
+
+def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition):
+    """Stream as many standalone-sumcheck rounds as possible on device.
+
+    Returns (rounds_done, pols, randoms, new_previous_sum), leaving the
+    tables and the caller's transcript exactly as the host path would
+    (bit-identical; pinned by tests)."""
+    from . import device_transcript as dtr
+    from .config import get_config
+
+    if tables.on_host:
+        return 0, [], [], previous_sum
+    try:
+        tr_state = dtr.state_from_host(transcript)
+    except ValueError:  # non-word-aligned prior absorbs
+        return 0, [], [], previous_sum
+    vinv = _vandermonde_inv_limbs(total_degree + 1)
+    prev = jnp.asarray(limbs.pack_scalar(previous_sum))
+    metas = []
+    while (
+        not tables.on_host
+        and tables.height > HOST_THRESHOLD()
+        and tables.height <= get_config().fused_round_max_code
+        and tables.height > 1
+    ):
+        new_data, tr_state, meta = _device_sc_round(
+            tables.data, tr_state, prev, vinv, total_degree, composition
+        )
+        tables.apply_folded(new_data)
+        prev = meta[2]
+        metas.append(meta)
+    if not metas:
+        return 0, [], [], previous_sum
+    metas_h, tr_h, prev_h = jax.device_get((metas, tr_state, prev))
+    pols = []
+    randoms = []
+    for r_l, cs, _p in metas_h:
+        pols.append(
+            SumcheckPoly(
+                [Fp(limbs.unpack_int(np.asarray(cs[i]))) for i in range(cs.shape[0])]
+            )
+        )
+        randoms.append(Fp(limbs.unpack_int(np.asarray(r_l))))
+    from . import device_transcript as dtr2
+
+    transcript._state = dtr2.state_to_host(tr_h)._state
+    return len(metas), pols, randoms, Fp(limbs.unpack_int(np.asarray(prev_h)))
+
+
 # Below this height the tables move to the host and rounds run as exact
 # integer arithmetic via the native runtime: the tail rounds of a proof are
 # tiny, and a device kernel launch + fresh XLA compile per halved shape
@@ -458,10 +575,25 @@ class SumcheckTables:
         pols: List[SumcheckPoly] = []
         randoms: List[Fp] = []
         prev = sum_value
-        for _ in range(n_rounds):
+        k = 0
+        while k < n_rounds:
+            # stream complete rounds on device (zero per-round host sync)
+            # whenever shapes fit the program budget and the table is big
+            # enough to be worth it; host-driven rounds (with chunked
+            # kernels for oversized tables) cover the rest.
+            done, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
+                self, transcript, prev, total_degree, composition
+            )
+            if done:
+                pols.extend(dev_pols)
+                randoms.extend(dev_randoms)
+                prev = prev2
+                k += done
+                continue
             pol, r, prev = self.compute_round(composition, total_degree, prev, transcript)
             pols.append(pol)
             randoms.append(r)
+            k += 1
         return pols, randoms
 
 

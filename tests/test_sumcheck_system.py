@@ -141,3 +141,50 @@ def test_pcs_style_identity_sumcheck():
 
     p_at_rs = evaluate_evals_host(dev, rs)
     assert eq_scalar(inputs, rs) * p_at_rs == final
+
+
+def test_streaming_device_sumcheck_rounds_bit_identical():
+    """Standalone sumcheck with streaming device rounds (on-device
+    Fiat-Shamir + V^{-1} interpolation) == exact host-int path."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.system import ConstraintSet, System, Trace, WitnessLayout
+    from multilinear_tpu.field.scalar import ZERO
+
+    log_h = 8
+    rows = []
+    i = 0
+    while len(rows) < (1 << log_h) * 4:
+        rows.extend([3 + i, 4 + i, 5 + i, 7 + i])
+        i += 1
+    constraints = ConstraintSet(
+        constraints=[
+            lambda v, r: v[0] * v[0] + v[1] * v[1] - v[2] * v[2],
+            lambda v, r: v[0] + v[1] - v[3],
+        ],
+        degree=2,
+    )
+    layout = WitnessLayout(columns=4)
+
+    def run():
+        trace = Trace(rows, 4)
+        transcript = Transcript()
+        prover = System.prover(transcript, constraints, layout, trace)
+        tables = prover.build_tables()
+        pols, randoms = prover.compute_sumcheck_polynomials(
+            transcript, tables, ZERO
+        )
+        return pols, randoms, transcript.random()
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
+        ref_pols, ref_rs, ref_state = run()
+        set_config(ProverConfig(host_threshold=16))  # streaming device rounds
+        got_pols, got_rs, got_state = run()
+    finally:
+        set_config(old)
+    assert got_state == ref_state
+    assert got_rs == ref_rs
+    assert [p.nonzero_coeffs for p in got_pols] == [
+        p.nonzero_coeffs for p in ref_pols
+    ]
