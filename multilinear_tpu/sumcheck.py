@@ -57,10 +57,27 @@ def _host_delta_table(points: Sequence[Fp]):
         table = [v * w % P for v in table for w in (om, p)]
     return table
 
-# A composition maps a list of per-column FA arrays (and is free to close
-# over host-side randoms/masks) to one FA array.  Mirrors the reference
-# composition closure (sumcheck.rs:47-52) but vectorized over all rows.
-Composition = Callable[[Sequence[ops.FA]], ops.FA]
+# A composition maps a list of per-column FA arrays to one FA array.
+# Mirrors the reference composition closure (sumcheck.rs:47-52) but
+# vectorized over all rows.  Two calling conventions:
+#   composition(cols)        - aux-free (e.g. identity_composition)
+#   composition(cols, aux)   - randoms/masks arrive as TRACED aux values
+# The aux form keeps the traced graph independent of the per-proof
+# challenge values, so jit programs are reused across proofs (a
+# composition closing over host Fp constants bakes them into the graph
+# and retraces every proof - seconds per round at 2^20).
+Composition = Callable[..., ops.FA]
+
+
+def _call_comp(composition, cols, aux):
+    return composition(cols) if aux is None else composition(cols, aux)
+
+
+def _aux_limbs_arr(aux):
+    """Pack a list of Fp aux scalars into an (A, 8) device constant."""
+    if not aux:
+        return jnp.zeros((0, 8), jnp.uint32)
+    return jnp.asarray(np.stack([limbs.pack_scalar(Fp(a)) for a in aux]))
 
 
 @dataclass
@@ -117,13 +134,25 @@ def _extensions(data, total_degree: int):
     return _extensions_pair(data[..., :off], data[..., off:], total_degree)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _partial_sums_kernel(data, total_degree: int, composition: Composition):
+def _aux_fas(aux_limbs, shape):
+    """(A, 8) aux limb array -> list of FA wrappers broadcast to shape."""
+    A = aux_limbs.shape[0]
+    if A == 0:
+        return None
+    return [
+        ops.FA(jnp.broadcast_to(aux_limbs[i].reshape(8, 1), (8,) + tuple(shape)))
+        for i in range(A)
+    ]
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _partial_sums_kernel(data, aux_limbs, total_degree: int, composition: Composition):
     """Round polynomial evaluations s(X) for X = 1..total_degree.
 
     data: (8, w+1, h) packed table - trace columns 0..w-1, delta weights in
-    the LAST column.  Returns (8, total_degree).  For the identity
-    composition all X points share one batched multiply.
+    the LAST column.  aux_limbs: (A, 8) traced challenge/mask scalars for
+    two-argument compositions.  Returns (8, total_degree).  For the
+    identity composition all X points share one batched multiply.
     """
     w = data.shape[1] - 1
     exts = _extensions(data, total_degree)
@@ -135,7 +164,7 @@ def _partial_sums_kernel(data, total_degree: int, composition: Composition):
     for e in exts:
         dx = e[:, w]
         cols = [ops.FA(e[:, j]) for j in range(w)]
-        comp = composition(cols)
+        comp = _call_comp(composition, cols, _aux_fas(aux_limbs, dx.shape[1:]))
         if isinstance(comp, ops.FA):
             carr = comp.a
         else:  # composition collapsed to a host scalar (e.g. a constant Expr)
@@ -153,8 +182,8 @@ def _fold_kernel(data, r_limbs):
     return _lin_ext(data[..., :off], data[..., off:], r_limbs)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _partial_sums_pair_kernel(lo, hi, total_degree: int, composition: Composition):
+@partial(jax.jit, static_argnums=(3, 4))
+def _partial_sums_pair_kernel(lo, hi, aux_limbs, total_degree: int, composition: Composition):
     """Partial sums from explicit (8, w+1, C) table halves - the bounded
     per-chunk program of the big-round path (see _chunked_partial_sums)."""
     w = lo.shape[1] - 1
@@ -167,7 +196,7 @@ def _partial_sums_pair_kernel(lo, hi, total_degree: int, composition: Compositio
     for e in exts:
         dx = e[:, w]
         cols = [ops.FA(e[:, j]) for j in range(w)]
-        comp = composition(cols)
+        comp = _call_comp(composition, cols, _aux_fas(aux_limbs, dx.shape[1:]))
         carr = comp.a if isinstance(comp, ops.FA) else ops.broadcast_scalar(
             limbs.pack_scalar(comp), dx.shape[1:]
         )
@@ -180,7 +209,7 @@ def _fold_pair_kernel(lo, hi, r_limbs):
     return _lin_ext(lo, hi, r_limbs)
 
 
-def _chunked_partial_sums(data, total_degree: int, composition: Composition):
+def _chunked_partial_sums(data, aux_limbs, total_degree: int, composition: Composition):
     """Round-poly sums for oversized tables, as bounded per-chunk programs.
 
     The axon backend rejects single programs with ~2 GiB of live
@@ -198,7 +227,7 @@ def _chunked_partial_sums(data, total_degree: int, composition: Composition):
     chunk_sums = [
         _partial_sums_pair_kernel(
             data[..., s : s + C], data[..., off + s : off + s + C],
-            total_degree, composition,
+            aux_limbs, total_degree, composition,
         )
         for s in range(0, off, C)
     ]
@@ -249,8 +278,8 @@ def _vandermonde_inv_limbs(n: int):
     return jnp.asarray(arr)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(4, 5))
-def _device_sc_round(data, tr_state, prev, vinv, total_degree: int, composition):
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
+def _device_sc_round(data, tr_state, prev, vinv, aux_limbs, total_degree: int, composition):
     """One COMPLETE standalone-sumcheck round on device, Fiat-Shamir
     included: partial sums, s(0) recovery, interpolation (V^{-1} matvec),
     coefficient absorption, challenge, fold, and the telescoped next sum.
@@ -260,7 +289,7 @@ def _device_sc_round(data, tr_state, prev, vinv, total_degree: int, composition)
     """
     from . import device_transcript as dtr
 
-    sums = _partial_sums_kernel(data, total_degree, composition)  # (8, d)
+    sums = _partial_sums_kernel(data, aux_limbs, total_degree, composition)  # (8, d)
     s0 = ops.sub(prev.reshape(8, 1), sums[:, 0].reshape(8, 1))[:, 0]
     evals = [s0] + [sums[:, i] for i in range(total_degree)]
     coeffs = []
@@ -283,7 +312,7 @@ def _device_sc_round(data, tr_state, prev, vinv, total_degree: int, composition)
     return new_data, tr, (r, jnp.stack(coeffs[1:], axis=0), new_prev)
 
 
-def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition):
+def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition, aux=None):
     """Stream as many standalone-sumcheck rounds as possible on device.
 
     Returns (rounds_done, pols, randoms, new_previous_sum), leaving the
@@ -299,6 +328,7 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     except ValueError:  # non-word-aligned prior absorbs
         return 0, [], [], previous_sum
     vinv = _vandermonde_inv_limbs(total_degree + 1)
+    aux_limbs = _aux_limbs_arr(aux)
     prev = jnp.asarray(limbs.pack_scalar(previous_sum))
     metas = []
     while (
@@ -308,7 +338,7 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
         and tables.height > 1
     ):
         new_data, tr_state, meta = _device_sc_round(
-            tables.data, tr_state, prev, vinv, total_degree, composition
+            tables.data, tr_state, prev, vinv, aux_limbs, total_degree, composition
         )
         tables.apply_folded(new_data)
         prev = meta[2]
@@ -450,6 +480,7 @@ class SumcheckTables:
         total_degree: int,
         previous_sum: Fp,
         transcript: Transcript,
+        aux=None,
     ):
         """Compute + absorb the round polynomial and draw r, WITHOUT folding.
 
@@ -460,14 +491,19 @@ class SumcheckTables:
         fold+commit into one device dispatch.
         """
         if self.on_host:
-            sums = self._partial_sums_host(composition, total_degree)
+            sums = self._partial_sums_host(composition, total_degree, aux)
         else:
             from .config import get_config
 
+            aux_limbs = _aux_limbs_arr(aux)
             if self.height > get_config().fused_round_max_code:
-                sums = _chunked_partial_sums(self.data, total_degree, composition)
+                sums = _chunked_partial_sums(
+                    self.data, aux_limbs, total_degree, composition
+                )
             else:
-                sums_dev = _partial_sums_kernel(self.data, total_degree, composition)
+                sums_dev = _partial_sums_kernel(
+                    self.data, aux_limbs, total_degree, composition
+                )
                 sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
         evals = [ZERO] * (total_degree + 1)
         for i in range(1, total_degree + 1):
@@ -486,15 +522,16 @@ class SumcheckTables:
         total_degree: int,
         previous_sum: Fp,
         transcript: Transcript,
+        aux=None,
     ):
         """One full sumcheck round: round_poly + fold."""
         sc_pol, r, new_sum = self.round_poly(
-            composition, total_degree, previous_sum, transcript
+            composition, total_degree, previous_sum, transcript, aux
         )
         self.fold(r)
         return sc_pol, r, new_sum
 
-    def _partial_sums_host(self, composition: Composition, total_degree: int):
+    def _partial_sums_host(self, composition: Composition, total_degree: int, aux=None):
         from . import native
 
         if composition is identity_composition and self.width == 1:
@@ -505,13 +542,14 @@ class SumcheckTables:
         off = self.height >> 1
         m = [native.bytes_arr_to_ints(c) for c in self.host_matrix]
         d = native.bytes_arr_to_ints(self.host_delta)
+        aux_fp = None if aux is None else [Fp(a) for a in aux]
         out = []
         for x in range(1, total_degree + 1):
             s = 0
             for i in range(off):
                 dx = (d[i] + x * (d[i + off] - d[i])) % P
                 vals = [Fp((c[i] + x * (c[i + off] - c[i])) % P) for c in m]
-                s = (s + dx * composition(vals).v) % P
+                s = (s + dx * _call_comp(composition, vals, aux_fp).v) % P
             out.append(s)
         return out
 
@@ -564,6 +602,7 @@ class SumcheckTables:
         composition_degree: int,
         transcript: Transcript,
         sum_value: Fp,
+        aux=None,
     ):
         """Run all log2(height) rounds (sumcheck.rs:147-172).
 
@@ -582,7 +621,7 @@ class SumcheckTables:
             # enough to be worth it; host-driven rounds (with chunked
             # kernels for oversized tables) cover the rest.
             done, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
-                self, transcript, prev, total_degree, composition
+                self, transcript, prev, total_degree, composition, aux
             )
             if done:
                 pols.extend(dev_pols)
@@ -590,7 +629,9 @@ class SumcheckTables:
                 prev = prev2
                 k += done
                 continue
-            pol, r, prev = self.compute_round(composition, total_degree, prev, transcript)
+            pol, r, prev = self.compute_round(
+                composition, total_degree, prev, transcript, aux
+            )
             pols.append(pol)
             randoms.append(r)
             k += 1

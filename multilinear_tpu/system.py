@@ -47,6 +47,31 @@ class ConstraintSet:
     constraints: List[Expr]
     degree: int
 
+    def composition_fn(self):
+        """Stable two-argument composition: sum_i mask_i * C_i(cols, randoms).
+
+        The challenges and masks arrive via the traced ``aux`` list
+        (randoms first, then one mask per constraint) instead of being
+        closed over - the SAME callable (and therefore the same compiled
+        programs) serves every proof with this constraint set.  Cached on
+        the instance so jit's static-argument key is stable.
+        """
+        if getattr(self, "_comp_fn", None) is None:
+            cs = list(self.constraints)
+            n = len(cs)
+
+            def comp(cols, aux):
+                randoms = aux[: len(aux) - n]
+                masks = aux[len(aux) - n :]
+                acc = None
+                for expr, m in zip(cs, masks):
+                    term = expr(cols, randoms) * m
+                    acc = term if acc is None else acc + term
+                return acc if acc is not None else ZERO
+
+            object.__setattr__(self, "_comp_fn", comp)
+        return self._comp_fn
+
 
 class Trace:
     """Row-major execution trace; height must be a power of two.
@@ -201,10 +226,11 @@ class System:
         self, transcript: Transcript, tables: SumcheckTables, sum_value: Fp
     ):
         return tables.compute_all_rounds(
-            self.evaluate_composition,
+            self.constraints.composition_fn(),
             self.constraints.degree,
             transcript,
             sum_value,
+            aux=list(self.challenges.trace) + list(self.constraint_mask),
         )
 
     # -- verifier flow ---------------------------------------------------------
