@@ -209,33 +209,74 @@ def _fold_pair_kernel(lo, hi, r_limbs):
     return _lin_ext(lo, hi, r_limbs)
 
 
-def _chunked_partial_sums(data, aux_limbs, total_degree: int, composition: Composition):
-    """Round-poly sums for oversized tables, as bounded per-chunk programs.
+@partial(jax.jit, static_argnums=(2,))
+def _chunked_fold_kernel(data, r_limbs, C: int):
+    """Fold an oversized packed table as ONE bounded program: a fori_loop
+    of dynamic_slice chunk folds written into the output buffer."""
+    off = data.shape[-1] // 2
+    n_chunks = off // C
+    out = jnp.zeros(data.shape[:-1] + (off,), jnp.uint32)
+
+    def body(i, out):
+        s = i * C
+        lo = jax.lax.dynamic_slice(data, (0, 0, s), (8, data.shape[1], C))
+        hi = jax.lax.dynamic_slice(data, (0, 0, off + s), (8, data.shape[1], C))
+        return jax.lax.dynamic_update_slice(out, _lin_ext(lo, hi, r_limbs), (0, 0, s))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _chunked_partial_sums_kernel(data, aux_limbs, C: int, total_degree: int, composition):
+    """Round-poly sums for oversized tables: ONE program, bounded memory.
 
     The axon backend rejects single programs with ~2 GiB of live
     allocations; at 2^24 rows the one-shot partial-sum program is ~3 GiB.
-    Chunks are combined exactly (host big-int mod p), so the result is
-    bit-identical to the fused kernel.
+    A fori_loop walks chunk windows with dynamic_slice, so the live set is
+    the input + one chunk's temporaries, and chunk results accumulate with
+    the (exact) mod-p add.  Bit-identical to the fused kernel.
     """
-    from .config import get_config
-    from .field.scalar import P
-
-    C = get_config().kernel_chunk
     h = data.shape[-1]
     off = h // 2
-    totals = [0] * total_degree
-    chunk_sums = [
-        _partial_sums_pair_kernel(
-            data[..., s : s + C], data[..., off + s : off + s + C],
-            aux_limbs, total_degree, composition,
-        )
-        for s in range(0, off, C)
-    ]
-    for dev in jax.device_get(chunk_sums):
-        vals = limbs.unpack_ints(np.asarray(dev))
-        for i in range(total_degree):
-            totals[i] = (totals[i] + int(vals[i])) % P
-    return totals
+    n_chunks = off // C
+
+    def body(i, acc):
+        s = i * C
+        lo = jax.lax.dynamic_slice(data, (0, 0, s), (8, data.shape[1], C))
+        hi = jax.lax.dynamic_slice(data, (0, 0, off + s), (8, data.shape[1], C))
+        part = _partial_sums_pair_kernel(lo, hi, aux_limbs, total_degree, composition)
+        return ops.add(acc, part)
+
+    init = jnp.zeros((8, total_degree), jnp.uint32)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _chunked_partial_sums(data, aux_limbs, total_degree: int, composition: Composition):
+    from .config import get_config
+
+    C = get_config().kernel_chunk
+    off = data.shape[-1] // 2
+    if off % C:  # non-divisible (tiny test configs): per-chunk dispatches
+        from .field.scalar import P
+
+        totals = [0] * total_degree
+        chunk_sums = [
+            _partial_sums_pair_kernel(
+                data[..., s : s + min(C, off - s)],
+                data[..., off + s : off + s + min(C, off - s)],
+                aux_limbs, total_degree, composition,
+            )
+            for s in range(0, off, C)
+        ]
+        for dev in jax.device_get(chunk_sums):
+            vals = limbs.unpack_ints(np.asarray(dev))
+            for i in range(total_degree):
+                totals[i] = (totals[i] + int(vals[i])) % P
+        return totals
+    sums_dev = _chunked_partial_sums_kernel(
+        data, aux_limbs, C, total_degree, composition
+    )
+    return [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
 
 
 def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
@@ -581,17 +622,20 @@ class SumcheckTables:
         if self.height > cfg.fused_round_max_code:
             C = cfg.kernel_chunk
             off = self.height >> 1
-            outs = [
-                _fold_pair_kernel(
-                    self.data[..., s : s + C],
-                    self.data[..., off + s : off + s + C],
-                    r_limbs,
+            if off % C:
+                outs = [
+                    _fold_pair_kernel(
+                        self.data[..., s : s + min(C, off - s)],
+                        self.data[..., off + s : off + s + min(C, off - s)],
+                        r_limbs,
+                    )
+                    for s in range(0, off, C)
+                ]
+                self.apply_folded(
+                    outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
                 )
-                for s in range(0, off, C)
-            ]
-            self.apply_folded(
-                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
-            )
+                return
+            self.apply_folded(_chunked_fold_kernel(self.data, r_limbs, C))
             return
         self.apply_folded(_fold_kernel(self.data, r_limbs))
 
