@@ -228,6 +228,80 @@ def _fold_flat(a, b, tw, r_limbs, half_limbs, sub: int = _SUB):
     )(a, b, tw, r_limbs.reshape(NLIMBS, 1, 1), half_limbs.reshape(NLIMBS, 1, 1))
 
 
+# ---------------------------------------------------------------------------
+# fused NTT butterfly:  p = u + v,  q = (u - v) * tw[row],  rows interleaved.
+# The jnp scan body had to materialize the broadcast twiddle operand (the
+# elementwise mul kernel wants equal shapes) - 1 GB of extra traffic per
+# stage at 2^24.  Here the per-row twiddle is read as an (8, R, 1) block
+# and broadcast in-kernel.
+# ---------------------------------------------------------------------------
+
+_BF_R = 8  # butterfly rows per block (sublane dim of each limb tile)
+
+
+def _butterfly_kernel(u_ref, v_ref, tw_ref, o_ref):
+    from . import ops
+
+    ul = [u_ref[i] for i in range(NLIMBS)]  # (R, BLK)
+    vl = [v_ref[i] for i in range(NLIMBS)]
+    shape = ul[0].shape
+    twl = [jnp.broadcast_to(tw_ref[i], shape) for i in range(NLIMBS)]
+
+    # p = u + v (mod p), exactly as ops.add
+    s, carry = ops._add_chain(ul, vl)
+    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
+    p, _ = ops._add_chain(s, k_or_zero)
+    p = ops._canon_sub_p(p)
+
+    # q = (u - v) * tw (mod p), exactly as ops.sub then mul
+    d, borrow = ops._sub_chain(ul, vl)
+    k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(d[0])] * (NLIMBS - 3)
+    diff, _ = ops._sub_chain(d, k_or_zero)
+    q = _mul_limbs(diff, twl)
+
+    for i in range(NLIMBS):
+        o_ref[i, :, 0, :] = p[i]
+        o_ref[i, :, 1, :] = q[i]
+
+
+@jax.jit
+def _butterfly_flat(u, v, tw_col):
+    """u, v: (8, H, C); tw_col: (8, H, 1).  Returns (8, H, 2, C) with
+    out[:, i, 0] = u[i]+v[i] and out[:, i, 1] = (u[i]-v[i])*tw[i]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, C = u.shape[1], u.shape[2]
+    grid = (H // _BF_R, C // 128)
+    io_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 2, 128), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _butterfly_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, H, 2, C), jnp.uint32),
+        grid=grid,
+        in_specs=[io_spec, io_spec, tw_spec],
+        out_specs=out_spec,
+    )(u, v, tw_col)
+
+
+def butterfly_supported(half: int, C: int) -> bool:
+    return half % _BF_R == 0 and C % 128 == 0
+
+
+def butterfly(u, v, tw_col):
+    """Fused Pease butterfly stage; see _butterfly_flat for the contract."""
+    return _butterfly_flat(u, v, tw_col)
+
+
 def fold_codeword(code, twiddles, r_limbs, half_limbs):
     """One FRI fold (8, m) -> (8, m/2), fully fused in VMEM.
 

@@ -127,31 +127,56 @@ def _fold_halves(a, b, twiddles, r_limbs, half_limbs):
     return ops.mul(ops.add(even, ops.mul(rb, odd)), hb)
 
 
-def _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k: int):
-    """Fold an oversized codeword as bounded per-chunk dispatches.
+@partial(jax.jit, static_argnums=(4, 5))
+def _fold_codeword_chunked_kernel(code, inv_pows, r_limbs, half_limbs, k: int, C: int):
+    """Chunked oversized-codeword fold as ONE bounded program.
 
-    One fused fold program at 2^25 exceeds the backend's ~2 GiB
-    per-program allocation budget; slicing the halves (pairing i with
-    i + m/2 is slice-aligned) keeps every dispatch bounded.  Bit-identical
-    to _fold_codeword (pinned by tests).
+    Chunks are a static-unrolled loop of strided lax.slice windows written
+    into the output with dynamic_update_slice - the live set stays at the
+    input + output + one chunk's temporaries (the earlier per-chunk eager
+    slices queued ~12 programs each holding the 1 GiB codeword, which is
+    exactly what dies when a co-tenant spikes HBM).  The strided slice of
+    the inverse power table replaces materializing the full stride-2^k
+    twiddle view.
     """
+    m = code.shape[-1]
+    half = m // 2
+    out = jnp.zeros(code.shape[:-1] + (half,), jnp.uint32)
+    for ci in range(half // C):
+        s = ci * C
+        a = jax.lax.slice_in_dim(code, s, s + C, axis=-1)
+        b = jax.lax.slice_in_dim(code, half + s, half + s + C, axis=-1)
+        tw = jax.lax.slice(
+            inv_pows, (0, s << k), (8, (s + C) << k), (1, 1 << k)
+        )
+        out = jax.lax.dynamic_update_slice(
+            out, _fold_halves(a, b, tw, r_limbs, half_limbs), (0, s)
+        )
+    return out
+
+
+def _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k: int):
+    """Fold an oversized codeword with a bounded-memory program.
+
+    Bit-identical to _fold_codeword (pinned by tests)."""
     from .config import get_config
 
     C = get_config().kernel_chunk
-    m = code.shape[-1]
-    half = m // 2
-    tw = inv_pows[:, :: 1 << k][:, :half] if k else inv_pows[:, :half]
-    outs = [
-        _fold_halves(
-            code[..., s : s + C],
-            code[..., half + s : half + s + C],
-            tw[..., s : s + C],
-            r_limbs,
-            half_limbs,
-        )
-        for s in range(0, half, C)
-    ]
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    half = code.shape[-1] // 2
+    if half % C:  # tiny test configs: per-chunk dispatches
+        tw = inv_pows[:, :: 1 << k][:, :half] if k else inv_pows[:, :half]
+        outs = [
+            _fold_halves(
+                code[..., s : s + min(C, half - s)],
+                code[..., half + s : half + s + min(C, half - s)],
+                tw[..., s : s + min(C, half - s)],
+                r_limbs,
+                half_limbs,
+            )
+            for s in range(0, half, C)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return _fold_codeword_chunked_kernel(code, inv_pows, r_limbs, half_limbs, k, C)
 
 
 def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
@@ -471,8 +496,9 @@ def encode_mle_for_fri(evals):
     sumcheck's MSB top/bottom-half fold (reference
     multilinear_pcs.rs:101-107, Q8).
     """
-    from .ntt import _ntt_fourstep_donated, gen_pows
+    from .field.scalar import pow2_generator
+    from .ntt import fourstep_transform
 
     padded = _coeffs_for_fri(evals)
     log_m = padded.shape[-1].bit_length() - 1
-    return _ntt_fourstep_donated(padded, gen_pows(log_m), log_m)
+    return fourstep_transform(padded, pow2_generator(log_m).v, log_m, donate=True)

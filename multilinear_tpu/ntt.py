@@ -94,6 +94,30 @@ def _pease_axis2(x, pows, log_m: int):
     stages = jnp.arange(log_m, dtype=jnp.int32)
     lead = x.shape[:-2]
 
+    from .config import pallas_enabled
+
+    if len(lead) == 1:  # (8, M, C): the plain-codeword case
+        from .field import pallas_ops
+
+        if pallas_enabled() and pallas_ops.butterfly_supported(half, C):
+            # per-stage twiddle columns, (log_m, 8, half) - tiny gathers
+            tw_all = jnp.stack(
+                [
+                    jnp.take(pows, ((iota >> s) & ((half - 1) >> s)) << s, axis=-1)
+                    for s in range(log_m)
+                ],
+                axis=0,
+            )
+
+            def bf_body(x, tw_s):
+                u = x[:, :half]
+                v = x[:, half:]
+                out = pallas_ops.butterfly(u, v, tw_s.reshape(8, half, 1))
+                return out.reshape(8, M, C), None
+
+            x, _ = jax.lax.scan(bf_body, x, tw_all)
+            return x
+
     def body(x, s):
         u = x[..., :half, :]
         v = x[..., half:, :]
@@ -120,16 +144,57 @@ def _bitrev_axis2(x, log_m: int):
     return jnp.take(x, idx, axis=x.ndim - 2)
 
 
-def _ntt_fourstep_impl(x, pows, log_n: int):
+@partial(jax.jit, static_argnums=(1,))
+def _build_twiddle_matrix(pows, log_n: int):
+    n = 1 << log_n
+    a = (log_n + 1) // 2
+    b = log_n - a
+    A, B = 1 << a, 1 << b
+    ia = jnp.arange(A, dtype=jnp.uint32)
+    ib = jnp.arange(B, dtype=jnp.uint32)
+    e = (ia[:, None] * ib[None, :]) & jnp.uint32(n - 1)
+    e_lo = (e & jnp.uint32(n // 2 - 1)).astype(jnp.int32)
+    negate = e >= jnp.uint32(n // 2)
+    T = jnp.take(pows, e_lo, axis=-1)  # (8, A, B)
+    return ops.select(jnp.broadcast_to(negate, T.shape[1:]), ops.neg(T), T)
+
+
+# Cache the four-step twiddle matrix for domains up to 2^24 (<= 512 MB):
+# rebuilding it inside every transform cost a 2^n-element gather per call
+# (~270 ms at 2^24).  Bigger domains build it per call and hand it to the
+# transform as a donated operand - a permanently resident 1 GiB constant
+# for the 2^25 encode domain pushed the 2^24 prover's peak past what the
+# shared chip tolerates under co-tenant HBM pressure.
+_TWIDDLE_CACHE_MAX_LOG = 24
+
+
+@lru_cache(maxsize=16)
+def _twiddle_matrix_cached(gen_v: int, log_n: int):
+    pows = _pow_table(gen_v, log_n - 1) if log_n else _pow_table(1, 0)
+    return _build_twiddle_matrix(pows, log_n)
+
+
+def _twiddle_matrix(gen_v: int, log_n: int):
+    if log_n <= _TWIDDLE_CACHE_MAX_LOG:
+        return _twiddle_matrix_cached(gen_v, log_n)
+    pows = _pow_table(gen_v, log_n - 1)
+    return _build_twiddle_matrix(pows, log_n)
+
+
+def _ntt_fourstep_impl(x, pows, T, log_n: int):
     """Four-step NTT: natural order in, natural order out.
 
     n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), a twiddle-matrix
-    multiply, a gather-transpose, then row-group NTTs (again axis -2).
-    Every intermediate keeps a wide trailing dimension and every data
-    permutation is a gather (standard layouts) - the flat Pease scan's
-    trailing-2 interleave made XLA lay the carry out limbs-minor, a 16x
-    tile-padding blowup at 2^24.  ``pows``: (8, n/2) first-half power
+    multiply (``T`` is the cached (8, A, B) constant), an XLA tiled
+    transpose, then row-group NTTs (again axis -2).  Every intermediate
+    keeps a wide trailing dimension.  ``pows``: (8, n/2) first-half power
     table of the full domain.  Verified bit-exact vs the scalar model.
+
+    (History: the transpose was once a flat gather to dodge transposed-
+    layout propagation; measured at 2^24 the tiled ``swapaxes`` transpose
+    is 8.6x faster and, feeding straight into the next sub-transform's
+    scan inside this one jit, no longer leaks layouts across program
+    boundaries.)
     """
     n = 1 << log_n
     if log_n == 0:
@@ -146,48 +211,64 @@ def _ntt_fourstep_impl(x, pows, log_n: int):
 
     F = _bitrev_axis2(_pease_axis2(M, powsA, a), a)
 
-    # twiddle matrix T[k1][n2] = w^(k1*n2), from the half table with the
-    # w^(n/2) = -1 sign trick
-    ia = jnp.arange(A, dtype=jnp.uint32)
-    ib = jnp.arange(B, dtype=jnp.uint32)
-    e = (ia[:, None] * ib[None, :]) & jnp.uint32(n - 1)
-    e_lo = (e & jnp.uint32(n // 2 - 1)).astype(jnp.int32)
-    negate = e >= jnp.uint32(n // 2)
-    T = jnp.take(pows, e_lo, axis=-1)  # (8, A, B)
-    T = ops.select(jnp.broadcast_to(negate, T.shape[1:]), ops.neg(T), T)
     if lead:
         T = T.reshape((8,) + (1,) * len(lead) + (A, B))
         T = jnp.broadcast_to(T, F.shape)
     G = ops.mul(F, T)
 
-    # gather-transpose to lead + (B, A)
-    j = jnp.arange(n, dtype=jnp.uint32)
-    idx_t = ((j & jnp.uint32(A - 1)) * jnp.uint32(B) + (j >> a)).astype(jnp.int32)
-    Gt = jnp.take(G.reshape((8,) + lead + (n,)), idx_t, axis=-1)
-    Gt = Gt.reshape((8,) + lead + (B, A))
+    Gt = jnp.swapaxes(G, G.ndim - 2, G.ndim - 1)  # lead + (B, A)
 
     H = _bitrev_axis2(_pease_axis2(Gt, powsB, b), b)
     # flat(H)[k2*A + k1] = out[k1 + A*k2]: already the natural order
     return H.reshape((8,) + lead + (n,))
 
 
-_ntt_fourstep = partial(jax.jit, static_argnums=(2,))(_ntt_fourstep_impl)
-# Donating variant for call sites whose input is transient (the RS-encode
-# pipeline): frees the 1 GB padded-coefficient buffer at 2^25, where HBM
-# is the binding constraint.
-_ntt_fourstep_donated = partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))(
+_ntt_fourstep = partial(jax.jit, static_argnums=(3,))(_ntt_fourstep_impl)
+# Donating variants: the input for call sites whose coefficient buffer is
+# transient (the RS-encode pipeline - frees 1 GB at 2^25), and the twiddle
+# matrix for big domains where it is built per call (see _twiddle_matrix).
+_ntt_fourstep_donated = partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))(
     _ntt_fourstep_impl
 )
+_ntt_fourstep_donated_xT = partial(
+    jax.jit, static_argnums=(3,), donate_argnums=(0, 2)
+)(_ntt_fourstep_impl)
+_ntt_fourstep_donated_T = partial(
+    jax.jit, static_argnums=(3,), donate_argnums=(2,)
+)(_ntt_fourstep_impl)
+
+
+def fourstep_transform(x, gen_v: int, log_n: int, donate: bool = False):
+    """Four-step transform for the domain generated by ``gen_v``.
+
+    Resolves the cached power table and twiddle matrix for the generator
+    and dispatches the (optionally input-donating) jitted transform.
+    """
+    if log_n == 0:
+        return x
+    pows = _pow_table(gen_v, log_n - 1)
+    T = _twiddle_matrix(gen_v, log_n)
+    big = log_n > _TWIDDLE_CACHE_MAX_LOG
+    if big:
+        fn = _ntt_fourstep_donated_xT if donate else _ntt_fourstep_donated_T
+    else:
+        fn = _ntt_fourstep_donated if donate else _ntt_fourstep
+    return fn(x, pows, T, log_n)
 
 
 def ntt(coeffs, pows=None):
-    """Forward NTT along the last axis: out[i] = p(g^i), natural order."""
+    """Forward NTT along the last axis: out[i] = p(g^i), natural order.
+
+    ``pows`` is accepted for API compatibility but ignored - the cached
+    power table and twiddle matrix of the standard 2^log_n-domain
+    generator are used.
+    """
     n = coeffs.shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "size must be a power of two"
-    if pows is None:
-        pows = gen_pows(log_n)
-    return _ntt_fourstep(coeffs, pows, log_n)
+    if log_n == 0:
+        return coeffs
+    return fourstep_transform(coeffs, pow2_generator(log_n).v, log_n)
 
 
 @jax.jit
@@ -203,7 +284,7 @@ def intt(evals, inv_pows=None):
     assert 1 << log_n == n
     if inv_pows is None:
         inv_pows = inv_gen_pows(log_n)
-    x = _ntt_fourstep(evals, inv_pows, log_n)
+    x = fourstep_transform(evals, pow2_generator(log_n).inv().v, log_n)
     n_inv = limbs.pack_scalar(Fp(n).inv())
     return _scale(x, jnp.asarray(n_inv))
 
@@ -221,4 +302,4 @@ def reed_solomon(coeffs, log_blowup: int = LOG_BLOWUP):
     padded = jnp.pad(coeffs, pad_width)
     # padded is created here and never reused: donate it to the transform
     log_m = log_n + log_blowup
-    return _ntt_fourstep_donated(padded, gen_pows(log_m), log_m)
+    return fourstep_transform(padded, pow2_generator(log_m).v, log_m, donate=True)

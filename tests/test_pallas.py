@@ -114,3 +114,63 @@ def test_fold_kernel_math_parity():
     )
     want = fri_mod._fold_codeword(code, tw, r, h)
     assert np.array_equal(out, np.asarray(want))
+
+
+def test_butterfly_kernel_math_parity():
+    """The fused butterfly kernel body == the jnp Pease scan body math."""
+    from multilinear_tpu import ntt as ntt_mod
+
+    rng = np.random.default_rng(15)
+    H, C = 4, 8
+    u = _pack(_rand_vals(rng, H * C)).reshape(8, H, C)
+    v = _pack(_rand_vals(rng, H * C)).reshape(8, H, C)
+    tw = _pack(_rand_vals(rng, H)).reshape(8, H, 1)
+
+    out = np.zeros((8, H, 2, C), np.uint32)
+
+    class _Ref:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, i):
+            return self.arr[i]
+
+    class _Out:
+        def __setitem__(self, idx, val):
+            out[idx] = np.asarray(val)
+
+    pallas_ops._butterfly_kernel(_Ref(u), _Ref(v), _Ref(tw), _Out())
+
+    p = ops.add(u, v)
+    q = ops.mul(ops.sub(u, v), jnp.broadcast_to(tw, u.shape))
+    want = np.stack([np.asarray(p), np.asarray(q)], axis=2)
+    assert np.array_equal(out, want)
+
+
+def test_pease_pallas_path_matches_jnp(monkeypatch):
+    """Interpret-mode pallas Pease scan == the jnp scan path, full stage set."""
+    from jax.experimental import pallas as pl
+
+    import multilinear_tpu.config as cfgmod
+    from multilinear_tpu import ntt as ntt_mod
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    rng = np.random.default_rng(16)
+    log_m, C = 4, 128
+    M = 1 << log_m
+    x = _pack(_rand_vals(rng, M * C)).reshape(8, M, C)
+    pows = ntt_mod.gen_pows(log_m + 1)  # enough twiddles for the stage set
+
+    want = ntt_mod._pease_axis2(x, pows, log_m)  # jnp path (pallas off on CPU)
+
+    monkeypatch.setattr(cfgmod.get_config(), "use_pallas", True)
+    got = ntt_mod._pease_axis2(x, pows, log_m)
+    monkeypatch.setattr(cfgmod.get_config(), "use_pallas", None)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
