@@ -1,0 +1,112 @@
+"""On-hardware parity + micro-benchmark checks for the Pallas kernels.
+
+The CPU test suite pins the Pallas kernel MATH (pure-jnp body parity and
+interpret-mode grid plumbing, tests/test_pallas.py); this script checks the
+real Mosaic lowering on the TPU chip and reports kernel wall-clock.  Run it
+after touching any kernel in field/pallas_ops.py or sha256_pallas.py:
+
+    python tools/tpu_checks.py            # parity + timings, ~2-4 min warm
+
+Timing methodology: block_until_ready is NOT a reliable completion barrier
+over the axon tunnel - every timed region ends with a device_get of an
+O(1) slice (see CLAUDE.md).
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def _timed(fn, *args, reps: int = 3):
+    import jax
+
+    out = fn(*args)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:8])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:8])
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from multilinear_tpu import config as cfg
+    from multilinear_tpu import fri as fri_mod
+    from multilinear_tpu import sha256, sha256_pallas
+    from multilinear_tpu.field import limbs, ops, pallas_ops
+    from multilinear_tpu.field.scalar import Fp, TWO_INV
+
+    if jax.default_backend() != "tpu":
+        print("no TPU backend - nothing to check (CPU parity lives in tests/)")
+        return 0
+
+    rng = np.random.default_rng(7)
+    failures = 0
+
+    def rand_limbs(n):
+        a = rng.integers(0, 1 << 16, size=(8, n), dtype=np.uint32)
+        a[7] &= 0x7FFF  # < 2^127 < p
+        return jnp.asarray(a)
+
+    N = 1 << 22
+    a, b = rand_limbs(N), rand_limbs(N)
+
+    # --- field mul -------------------------------------------------------
+    cfg.get_config().use_pallas = False
+    want, _ = _timed(ops.mul, a, b)
+    cfg.get_config().use_pallas = True
+    got, dt = _timed(ops.mul, a, b)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"mul 2^22: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    # --- fused FRI fold --------------------------------------------------
+    code, tw = rand_limbs(2 * N), rand_limbs(N)
+    r = jnp.asarray(limbs.pack_scalar(Fp(1234567890123)))
+    h = jnp.asarray(limbs.pack_scalar(TWO_INV))
+    cfg.get_config().use_pallas = False
+    want, _ = _timed(fri_mod._fold_codeword, code, tw, r, h)
+    cfg.get_config().use_pallas = True
+    got, dt = _timed(fri_mod._fold_codeword, code, tw, r, h)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"fold 2^23->2^22: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    # --- SHA-256 ---------------------------------------------------------
+    msgs = jnp.asarray(rng.integers(0, 1 << 32, size=(16, 1 << 20), dtype=np.uint32))
+    cfg.get_config().use_pallas = False
+    want, _ = _timed(lambda m: sha256.sha256_words(m, 16), msgs)
+    cfg.get_config().use_pallas = True
+    got, dt = _timed(lambda m: sha256_pallas.sha256_words(m, 16), msgs)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"sha256 2^20x16w: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    # --- NTT (butterfly kernel path vs jnp path) -------------------------
+    from multilinear_tpu.ntt import ntt
+
+    x = rand_limbs(1 << 20)
+    cfg.get_config().use_pallas = False
+    want, _ = _timed(ntt, x)
+    cfg.get_config().use_pallas = True
+    got, dt = _timed(ntt, x)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"ntt 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    cfg.get_config().use_pallas = None
+    print("ALL OK" if not failures else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
