@@ -176,14 +176,25 @@ class BatchedFriProverData:
 
     @staticmethod
     def fold(codes, transcript: Transcript) -> "BatchedFriProverData":
-        """init + batched first step + plain steps (reference :207-224)."""
+        """init + batched first step + plain steps (reference :207-224).
+
+        Plain steps stream on device when shapes fit, exactly like
+        FriProverData.fold."""
+        from .fri import _device_fri_rounds
+
         data = BatchedFriProverData.init(codes, transcript)
         num_steps = codes.shape[-1].bit_length() - 1 - LOG_BLOWUP
         r = transcript.next_challenge()
         data.batched_fold_step(r, transcript)
-        for k in range(1, num_steps):
+        k = 1
+        while k < num_steps:
+            done = _device_fri_rounds(data.fri_data, transcript)
+            if done:
+                k += done
+                continue
             r = transcript.next_challenge()
             data.fri_data.fold_step(k, r, transcript)
+            k += 1
         assert data.fri_data.last_element is not None
         return data
 

@@ -179,6 +179,60 @@ def _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k: int):
     return _fold_codeword_chunked_kernel(code, inv_pows, r_limbs, half_limbs, k, C)
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _device_fri_round(code, inv_pows, tr_state, k: int):
+    """One COMPLETE standalone-FRI round on device: draw the fold
+    challenge from the on-device transcript (clone-finalize, quirk Q1),
+    fold + commit, absorb the new root.  Zero host synchronization."""
+    from . import device_transcript as dtr
+    from .field.scalar import TWO_INV as _TI
+
+    r = dtr.challenge(tr_state)
+    half = code.shape[-1] // 2
+    tw = inv_pows[:, :: 1 << k][:, :half]
+    half_limbs = jnp.asarray(limbs.pack_scalar(_TI))
+    nxt, pairs, layers = _fold_and_commit(code, tw, r, half_limbs)
+    tr2 = dtr.absorb_words(tr_state, layers[-1][:, 0])
+    return nxt, pairs, layers, tr2
+
+
+def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
+    """Stream as many plain-FRI rounds as possible entirely on device.
+
+    Leaves ``data`` and the caller's transcript exactly as the host path
+    would (bit-identical).  Returns the number of rounds done."""
+    from . import device_transcript as dtr
+    from .config import get_config
+
+    blowup = 1 << LOG_BLOWUP
+    if data._current_host is not None or data._current is None:
+        return 0
+    try:
+        tr_state = dtr.state_from_host(transcript)
+    except ValueError:
+        return 0
+    inv_pows = inv_gen_pows(data._log_domain)
+    done = 0
+    while True:
+        m = data._current.shape[-1]
+        half = m // 2
+        if m > get_config().fused_round_max_code:
+            break
+        if not (half > blowup and half > HOST_THRESHOLD()):
+            break
+        k = data._log_domain - (m.bit_length() - 1)
+        nxt, pairs, layers, tr_state = _device_fri_round(
+            data._current, inv_pows, tr_state, k
+        )
+        data._current = nxt
+        data.trees.append(MerkleTree(list(layers), pairs))
+        done += 1
+    if done:
+        tr_h = jax.device_get(tr_state)
+        transcript._state = dtr.state_to_host(tr_h)._state
+    return done
+
+
 def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
     half = code_bytes.shape[0] // 2
     return FieldHostTree([code_bytes[:half], code_bytes[half:]])
@@ -310,12 +364,22 @@ class FriProverData:
     @staticmethod
     def fold(code, transcript: Transcript) -> "FriProverData":
         """init + all fold rounds, drawing one challenge per round
-        (reference src/fri/mod.rs:136-145)."""
+        (reference src/fri/mod.rs:136-145).
+
+        Streams complete rounds on device (Fiat-Shamir included) whenever
+        shapes fit; host-driven rounds cover the oversized head and the
+        tiny tail.  Transcripts are bit-identical either way (pinned)."""
         data = FriProverData.init(code, transcript)
         num_steps = code.shape[-1].bit_length() - 1 - LOG_BLOWUP
-        for k in range(num_steps):
+        k = 0
+        while k < num_steps:
+            done = _device_fri_rounds(data, transcript)
+            if done:
+                k += done
+                continue
             r = transcript.next_challenge()
             data.fold_step(k, r, transcript)
+            k += 1
         assert data.last_element is not None
         return data
 

@@ -160,3 +160,25 @@ def test_pcs_golden_code_alignment():
     g_coeffs = gm.mle_to_coeffs([e.v for e in evals])
     g_code = gm.reed_solomon(gm.bit_reverse_list(g_coeffs))
     assert host_code == g_code
+
+
+def test_fri_streaming_device_rounds_bit_identical():
+    """Plain FRI prove with streaming device rounds == host-driven path,
+    byte for byte (on-device challenge draw + root absorption)."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.serialize import fri_proof_to_bytes
+
+    log_n = 7
+    values = [Fp(i * 11 + 5) for i in range(1 << log_n)]
+    code = reed_solomon(_device_poly(values))
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
+        ref = FriProof.prove(code, Transcript())
+        set_config(ProverConfig(host_threshold=8))  # streaming device rounds
+        got = FriProof.prove(code, Transcript())
+    finally:
+        set_config(old)
+    assert fri_proof_to_bytes(got) == fri_proof_to_bytes(ref)
+    got.verify()
