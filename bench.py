@@ -50,6 +50,10 @@ _BASELINE_EST_S = {
     ("ntt", 24): 7.0,
     ("fri", 20): 1.6,
     ("sumcheck", 20): 1.2,
+    # 10 polys share one batched proof: ~10x the single-poly table work +
+    # one extra Merkle layer; the reference runs this single-threaded too.
+    ("batched-pcs", 20): 26.0,
+    ("snark", 20): 3.7,  # sumcheck (~1.2) + PCS (~2.5) on one core
 }
 
 
@@ -183,11 +187,80 @@ def bench_sumcheck(log_n: int):
     return run()
 
 
+def bench_batched_pcs(log_n: int, n_polys: int = 10):
+    """Reference batched_pcs_verify_test workload: 10 polys x 2^log_n."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multilinear_tpu.batched_pcs import BatchedPCSClaim, BatchedPCSProof
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.transcript import Transcript
+
+    h = 1 << log_n
+    vals = (np.arange(n_polys * h, dtype=np.uint64) * 11 + 5)
+    polys = jnp.asarray(limbs.pack_ints(vals, shape=(n_polys, h)))
+    polys.block_until_ready()
+    inputs = [Fp(i + 2) for i in range(log_n)]
+    outputs = [evaluate_evals_host(polys[:, j], inputs) for j in range(n_polys)]
+
+    def run():
+        t0 = time.perf_counter()
+        proof = BatchedPCSProof.prove(
+            BatchedPCSClaim(list(inputs), list(outputs)), polys, Transcript()
+        )
+        return proof, time.perf_counter() - t0
+
+    run()
+    proof, dt = run()
+    _, dt2 = run()
+    dt = min(dt, dt2)
+    proof.verify(Transcript())
+    return dt
+
+
+def bench_snark(log_n: int):
+    """Reference snark_test workload: width-1 trace, trivial constraint."""
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.system import (
+        Commitment, ConstraintSet, System, Trace, WitnessLayout,
+    )
+    from multilinear_tpu.transcript import Transcript
+
+    rows = [(i * 7 + 3) % 97 for i in range(1 << log_n)]
+    constraints = ConstraintSet(constraints=[lambda v, r: v[0] - v[0]], degree=1)
+    layout = WitnessLayout(columns=1)
+    trace = Trace(rows, 1)
+    trace.columns_device().block_until_ready()
+
+    def run():
+        transcript = Transcript()
+        prover = System.prover(transcript, constraints, layout, trace)
+        t0 = time.perf_counter()
+        proof = prover.prove_snark(transcript)
+        dt = time.perf_counter() - t0
+        return proof, dt
+
+    run()
+    proof, dt = run()
+    _, dt2 = run()
+    dt = min(dt, dt2)
+    vt = Transcript()
+    verifier = System.verifier(
+        vt, constraints, WitnessLayout(columns=1), Commitment(), log_n
+    )
+    verifier.verify_snark(vt, proof)
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=22)
     ap.add_argument(
-        "--metric", choices=["pcs", "ntt", "fri", "sumcheck"], default="pcs"
+        "--metric",
+        choices=["pcs", "ntt", "fri", "sumcheck", "batched-pcs", "snark"],
+        default="pcs",
     )
     args = ap.parse_args()
 
@@ -197,6 +270,8 @@ def main():
         "ntt": bench_ntt,
         "fri": bench_fri,
         "sumcheck": bench_sumcheck,
+        "batched-pcs": bench_batched_pcs,
+        "snark": bench_snark,
     }[args.metric]
     dt = fn(args.log_n)
     baseline = _baseline(args.metric, args.log_n)
