@@ -153,6 +153,9 @@ class BatchedPCSProof:
         n = len(self.fri_proof.commitments) + 1
         if n != len(self.sumcheck_polynomials) or n != len(self.claim.inputs):
             raise FriError("inconsistent proof dimensions")
+        # degree-2 round polynomials, as in the plain PCS
+        if any(len(p.nonzero_coeffs) != 2 for p in self.sumcheck_polynomials):
+            raise FriError("sumcheck round polynomial exceeds degree bound")
 
         self.claim.absorb_into(transcript)
         random_elements: List[Fp] = []

@@ -28,6 +28,12 @@ from .sumcheck import SumcheckPoly, SumcheckTables
 from .transcript import Transcript
 
 
+def normalize_ckpt_path(path: str) -> str:
+    """np.savez_compressed appends '.npz' when missing; normalize once so
+    save, load, and the .claim sidecar all agree on the file name."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _put(store, key, arr):
     store[key] = np.asarray(arr)
 
@@ -96,12 +102,12 @@ def save_pcs_state(
                 _put(store, f"tree{t_i}_layer{l_i}", layer)
 
     store["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **store)
+    np.savez_compressed(normalize_ckpt_path(path), **store)
 
 
 def load_pcs_state(path: str):
     """Returns (tables, fri_data, transcript, round_k, previous_sum, pols)."""
-    z = np.load(path, allow_pickle=False)
+    z = np.load(normalize_ckpt_path(path), allow_pickle=False)
     meta = json.loads(bytes(z["meta"]).decode())
 
     transcript = Transcript.import_state(

@@ -35,6 +35,13 @@ class ProverConfig:
     # calls are opaque to the XLA partitioner - the sharded path keeps the
     # jnp kernels).  True/False force.  Purely a performance knob;
     # results are bit-identical (pinned by tests/test_pallas.py).
+    #
+    # CAVEAT: the choice is read at TRACE time inside jitted functions and
+    # jax caches compiled programs by shape - set use_pallas BEFORE the
+    # first call at a given shape.  Toggling it later silently keeps the
+    # previously-traced kernel for shapes already compiled in this process
+    # (results stay identical; only which kernel runs differs).  Flip it in
+    # a fresh process (or jax.clear_caches()) for benchmarking comparisons.
     use_pallas: Optional[bool] = None
 
 

@@ -252,6 +252,11 @@ class PCSProof:
         n = len(self.fri_proof.commitments)
         if n != len(self.sumcheck_polynomials) or n != len(self.inputs):
             raise FriError("inconsistent proof dimensions")
+        # PCS round polynomials are degree 2 (identity composition, reference
+        # src/fri/multilinear_pcs.rs:56-57); a longer coefficient vector from
+        # a hostile proof would loosen the sumcheck soundness bound.
+        if any(len(p.nonzero_coeffs) != 2 for p in self.sumcheck_polynomials):
+            raise FriError("sumcheck round polynomial exceeds degree bound")
 
         random_elements: List[Fp] = []
         for root, pol in zip(self.fri_proof.commitments, self.sumcheck_polynomials):
@@ -354,8 +359,9 @@ class PCSProverSession:
 
     # -- persistence -----------------------------------------------------------
     def save(self, path: str) -> None:
-        from .checkpoint import save_pcs_state
+        from .checkpoint import normalize_ckpt_path, save_pcs_state
 
+        path = normalize_ckpt_path(path)
         save_pcs_state(
             path,
             self.tables,
@@ -376,7 +382,9 @@ class PCSProverSession:
     def resume(path: str) -> "PCSProverSession":
         import json
 
-        from .checkpoint import load_pcs_state
+        from .checkpoint import load_pcs_state, normalize_ckpt_path
+
+        path = normalize_ckpt_path(path)
 
         s = PCSProverSession.__new__(PCSProverSession)
         (

@@ -682,15 +682,27 @@ class SumcheckTables:
         return pols, randoms
 
 
-def replay_sumcheck(transcript: Transcript, pols: Sequence[SumcheckPoly], sum_value: Fp):
+def replay_sumcheck(
+    transcript: Transcript,
+    pols: Sequence[SumcheckPoly],
+    sum_value: Fp,
+    degree: int = None,
+):
     """Verifier-side telescoping replay for the standalone protocol.
 
     Absorbs each round polynomial and draws the challenges exactly as the
     prover did (reference verify_sumcheck_debug / verify_with_evaluations,
     sumcheck.rs:55-124).  Returns (randoms, final_value) where final_value
     = p_last(r_last) must equal delta(rs) * composition(trace(rs)).
+
+    ``degree``: round-polynomial total degree bound (composition degree + 1).
+    When given, a proof whose coefficient vectors are longer is rejected
+    before replaying - the wire format sends coeffs[1..], so the expected
+    length is exactly ``degree``.
     """
     assert pols, "at least one round polynomial is expected"
+    if degree is not None and any(len(p.nonzero_coeffs) != degree for p in pols):
+        raise ValueError("sumcheck round polynomial exceeds degree bound")
     rs: List[Fp] = []
     it = iter(pols)
     first = next(it)

@@ -250,7 +250,9 @@ class System:
     ) -> None:
         """Verifier-side check against claimed column evaluations
         (reference sumcheck.rs:91-124)."""
-        rs, final = replay_sumcheck(transcript, pols, sum_value)
+        rs, final = replay_sumcheck(
+            transcript, pols, sum_value, degree=self.constraints.degree + 1
+        )
         delta = self.evaluate_delta(rs)
         composition = self.evaluate_composition(list(output))
         if delta * composition != final:

@@ -58,3 +58,23 @@ def test_resume_with_device_tables(tmp_path):
     finally:
         set_config(old)
     assert pcs_proof_to_bytes(proof) == pcs_proof_to_bytes(ref)
+
+
+def test_save_resume_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz' when missing; save/resume must agree on the
+    final file name either way (advisor finding, round 1)."""
+    n_vars = 6
+    evals = [Fp(i * 5 + 1) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i + 3) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    ref = PCSProof.prove(inputs, output, dev, Transcript())
+
+    session = PCSProverSession(inputs, output, dev, Transcript())
+    session.run_rounds(max_rounds=2)
+    session.save(str(tmp_path / "noext"))  # no .npz suffix
+    resumed = PCSProverSession.resume(str(tmp_path / "noext"))
+    resumed.run_rounds()
+    proof = resumed.finish()
+    assert pcs_proof_to_bytes(proof) == pcs_proof_to_bytes(ref)

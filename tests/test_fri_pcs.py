@@ -182,3 +182,19 @@ def test_fri_streaming_device_rounds_bit_identical():
         set_config(old)
     assert fri_proof_to_bytes(got) == fri_proof_to_bytes(ref)
     got.verify()
+
+
+def test_pcs_rejects_overlong_round_polynomial():
+    """Round polynomials are degree 2; a hostile proof carrying extra
+    coefficients must be rejected before transcript replay (advisor
+    finding, round 1)."""
+    n_vars = 6
+    evals = [Fp(i * 3 + 11) for i in range(1 << n_vars)]
+    dev = _device_poly(evals)
+    inputs = [Fp(i + 2) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    proof = PCSProof.prove(inputs, output, dev, Transcript())
+    proof.sumcheck_polynomials[2].nonzero_coeffs.append(Fp(0))
+    with pytest.raises(FriError):
+        proof.verify(Transcript())
