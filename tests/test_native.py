@@ -1,5 +1,6 @@
 """Native host runtime (native/mlt_native.cpp) parity vs exact Python."""
 
+import os
 import hashlib
 import random
 
@@ -104,3 +105,45 @@ def test_merkle_verify_parity():
     assert ok and idx == 2
     ok, _ = native.merkle_verify(leaf, sibs, dirs, bytes(32))
     assert not ok
+
+
+def test_baseline_binary_transcript_parity():
+    """The measured single-core CPU baseline (native/baseline.cpp) must
+    perform the reference's exact work: its PCS transcript digests are
+    byte-identical to this framework's proof at 2^8.  last_random covers
+    the ENTIRE transcript history (roots, round coeffs, challenges, all
+    128 query indices), so matching it pins the whole protocol."""
+    import json as _json
+    import subprocess
+
+    import jax.numpy as jnp
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.transcript import Transcript
+
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    exe = os.path.join(src_dir, "baseline")
+    src = os.path.join(src_dir, "baseline.cpp")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-o", exe, src], check=True, capture_output=True,
+            timeout=300,
+        )
+    out = subprocess.run(
+        [exe, "parity", "8"], check=True, capture_output=True, timeout=120
+    )
+    d = _json.loads(out.stdout)
+
+    n = 8
+    evals = [Fp(i * 7 + 3) for i in range(1 << n)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i) for i in range(n)]
+    output = evaluate_evals_host(dev, inputs)
+    proof = PCSProof.prove(inputs, output, dev, Transcript())
+
+    assert d["root0"] == proof.fri_proof.commitments[0].hex()
+    assert d["last_element"] == proof.fri_proof.last_elem.to_bytes().hex()
+    assert d["last_random"] == proof.fri_proof.last_random.hex()
