@@ -65,7 +65,7 @@ def _baseline(metric: str, log_n: int) -> float:
     return _BASELINE_MEASURED_S[(metric, a)] * (2 ** (log_n - a))
 
 
-def bench_pcs(log_n: int):
+def bench_pcs(log_n: int, with_proof_bytes: bool = False):
     import jax.numpy as jnp
 
     from multilinear_tpu.field import limbs
@@ -96,6 +96,10 @@ def bench_pcs(log_n: int):
     _, dt2 = run()
     dt = min(dt, dt2)
     proof.verify(Transcript())
+    if with_proof_bytes:
+        from multilinear_tpu.serialize import pcs_proof_to_bytes
+
+        return dt, len(pcs_proof_to_bytes(proof))
     return dt
 
 
@@ -114,9 +118,14 @@ def bench_ntt(log_n: int):
     # axon tunnel; a small device_get after the transform is.  The fetched
     # slice is O(1) so it does not distort the measurement.
     jax.device_get(ntt(coeffs)[:, :8])  # warmup
+    # min of 2 timed runs, like every other metric: one tunnel stall must
+    # not poison the number
     t0 = time.perf_counter()
     jax.device_get(ntt(coeffs)[:, :8])
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(ntt(coeffs)[:, :8])
+    return min(dt, time.perf_counter() - t0)
 
 
 def bench_fri(log_n: int):
@@ -253,15 +262,91 @@ def bench_snark(log_n: int):
     return dt
 
 
+def _driver_mode(deadline_s: float):
+    """No-args mode for the round driver: guarantee ONE JSON line.
+
+    Environment reality (measured, see CLAUDE.md): a fresh process pays a
+    ~4-6 min one-time barrier on its FIRST compile/load request to the
+    remote XLA server, then ~seconds per cached-program load.  A fixed
+    big workload can blow any unknown driver timeout, so this mode
+    escalates through PCS sizes, stages the best completed result, and a
+    SIGALRM deadline (MLT_BENCH_DEADLINE_S, default 480 s) prints the
+    staged line and exits 0 no matter what is still in flight.
+    """
+    import signal
+
+    staged = {}
+    t_start = time.time()
+
+    def emit(rc: int = 0):
+        if staged:
+            print(json.dumps(staged), flush=True)
+            os._exit(rc)
+        print(
+            json.dumps(
+                {
+                    "metric": "pcs_prove_wall_clock",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "error": "deadline hit before any size completed",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, lambda *_: emit(0))
+    signal.alarm(max(int(deadline_s), 30))
+
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    # measure the per-process first-program barrier so the escalation
+    # estimate reflects marginal work, not the fixed cost
+    t0 = time.time()
+    jax.device_get(jax.jit(lambda a: a + 1)(jnp.arange(1024, dtype=jnp.uint32))[:1])
+    barrier = time.time() - t0
+
+    prev_cost = None
+    for log_n in (16, 20, 22, 24):
+        remaining = deadline_s - (time.time() - t_start)
+        if prev_cost is not None and remaining < 3.0 * prev_cost + 60:
+            break
+        t_sz = time.time()
+        try:
+            dt, nbytes = bench_pcs(log_n, with_proof_bytes=True)
+        except Exception:
+            break  # keep the best completed size
+        prev_cost = time.time() - t_sz
+        baseline = _baseline("pcs", log_n)
+        staged.clear()
+        staged.update(
+            {
+                "metric": f"pcs_prove_wall_clock_2^{log_n}",
+                "value": round(dt, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline / dt, 3),
+                "proof_bytes": nbytes,
+                "startup_barrier_s": round(barrier, 1),
+            }
+        )
+    emit()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n", type=int, default=22)
+    ap.add_argument("--log-n", type=int, default=None)
     ap.add_argument(
         "--metric",
         choices=["pcs", "ntt", "fri", "sumcheck", "batched-pcs", "snark"],
         default="pcs",
     )
     args = ap.parse_args()
+
+    if args.log_n is None:
+        _driver_mode(float(os.environ.get("MLT_BENCH_DEADLINE_S", "480")))
+        return
 
     _setup_jax()
     fn = {
@@ -272,7 +357,12 @@ def main():
         "batched-pcs": bench_batched_pcs,
         "snark": bench_snark,
     }[args.metric]
-    dt = fn(args.log_n)
+    if args.metric == "pcs":
+        dt, nbytes = bench_pcs(args.log_n, with_proof_bytes=True)
+        extra = {"proof_bytes": nbytes}
+    else:
+        dt = fn(args.log_n)
+        extra = {}
     baseline = _baseline(args.metric, args.log_n)
     print(
         json.dumps(
@@ -281,6 +371,7 @@ def main():
                 "value": round(dt, 4),
                 "unit": "s",
                 "vs_baseline": round(baseline / dt, 3),
+                **extra,
             }
         )
     )

@@ -247,3 +247,51 @@ def batched_pcs_proof_from_bytes(buf: bytes) -> BatchedPCSProof:
     outputs = r.felts()
     r.expect_end()
     return BatchedPCSProof(fri, pols, BatchedPCSClaim(inputs, outputs))
+
+
+# -- SNARK (constraint-system proof) -------------------------------------------
+#
+# The reference never serializes its SNARK flow (its serde round-trip stops
+# at FriProof, src/fri/mod.rs:389-397); this codec completes the set.  A tag
+# byte distinguishes the width-1 plain-PCS flow from the multi-column
+# batched-PCS extension.
+
+
+def snark_proof_to_bytes(proof) -> bytes:
+    from .system import SnarkProof
+
+    assert isinstance(proof, SnarkProof)
+    w = _Writer()
+    _write_pols(w, proof.sumcheck_polynomials)
+    w.felts(proof.outputs)
+    w.felt(proof.sum_value)
+    if isinstance(proof.pcs, PCSProof):
+        w.u8(0)
+        inner = pcs_proof_to_bytes(proof.pcs)
+    elif isinstance(proof.pcs, BatchedPCSProof):
+        w.u8(1)
+        inner = batched_pcs_proof_to_bytes(proof.pcs)
+    else:
+        raise TypeError(f"unknown PCS proof type {type(proof.pcs)!r}")
+    w.u64(len(inner))
+    w.raw(inner)
+    return w.done()
+
+
+def snark_proof_from_bytes(buf: bytes):
+    from .system import SnarkProof
+
+    r = _Reader(buf)
+    pols = _read_pols(r)
+    outputs = r.felts()
+    sum_value = r.felt()
+    tag = r.u8()
+    inner = r.raw(r.u64())
+    if tag == 0:
+        pcs = pcs_proof_from_bytes(inner)
+    elif tag == 1:
+        pcs = batched_pcs_proof_from_bytes(inner)
+    else:
+        raise ValueError(f"unknown SNARK PCS tag {tag}")
+    r.expect_end()
+    return SnarkProof(pols, outputs, pcs, sum_value)

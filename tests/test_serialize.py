@@ -62,3 +62,53 @@ def test_batched_pcs_proof_roundtrip():
     back = serialize.batched_pcs_proof_from_bytes(buf)
     assert serialize.batched_pcs_proof_to_bytes(back) == buf
     back.verify(Transcript())
+
+
+def _snark_proof(width: int):
+    from multilinear_tpu.system import (
+        Commitment, ConstraintSet, System, Trace, WitnessLayout,
+    )
+
+    log_h = 6
+    rows = [(i * 7 + 3) % 97 for i in range((1 << log_h) * width)]
+    if width == 1:
+        cs = ConstraintSet(constraints=[lambda v, r: v[0] - v[0]], degree=1)
+    else:
+        cs = ConstraintSet(
+            constraints=[lambda v, r: v[0] + v[1] - v[0] - v[1]], degree=1
+        )
+    layout = WitnessLayout(columns=width)
+    t = Transcript()
+    prover = System.prover(t, cs, layout, Trace(rows, width))
+    proof = prover.prove_snark(t)
+    vt = Transcript()
+    verifier = System.verifier(vt, cs, layout, Commitment(), log_h)
+    return proof, verifier
+
+
+def test_snark_proof_roundtrip_plain():
+    proof, verifier = _snark_proof(width=1)
+    buf = serialize.snark_proof_to_bytes(proof)
+    back = serialize.snark_proof_from_bytes(buf)
+    assert serialize.snark_proof_to_bytes(back) == buf
+    vt = Transcript()
+    verifier2 = verifier
+    verifier2.verify_snark(vt, back)
+
+
+def test_snark_proof_roundtrip_batched():
+    proof, verifier = _snark_proof(width=2)
+    buf = serialize.snark_proof_to_bytes(proof)
+    back = serialize.snark_proof_from_bytes(buf)
+    assert serialize.snark_proof_to_bytes(back) == buf
+    vt = Transcript()
+    verifier.verify_snark(vt, back)
+
+
+def test_snark_proof_truncation_rejected():
+    import struct
+
+    proof, _ = _snark_proof(width=1)
+    buf = serialize.snark_proof_to_bytes(proof)
+    with pytest.raises((ValueError, struct.error)):
+        serialize.snark_proof_from_bytes(buf[:-7])
