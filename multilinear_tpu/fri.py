@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .field import limbs, ops
+from .dist import device_get_tree, fetch
 from .field.scalar import Fp, P, TWO_INV, pow2_generator
 from .merkle import FieldHostTree, MerklePath, MerkleTree
 from .ntt import LOG_BLOWUP, inv_gen_pows
@@ -228,7 +229,7 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
         data.trees.append(MerkleTree(list(layers), pairs))
         done += 1
     if done:
-        tr_h = jax.device_get(tr_state)
+        tr_h = device_get_tree(tr_state)
         transcript._state = dtr.state_to_host(tr_h)._state
     return done
 
@@ -256,7 +257,7 @@ class FriProverData:
 
     def _maybe_to_host(self) -> None:
         if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD():
-            raw = limbs.to_le_bytes(np.asarray(self._current))
+            raw = limbs.to_le_bytes(fetch(self._current))
             self._current_host = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 16).copy()
             self._current = None
 
@@ -347,7 +348,7 @@ class FriProverData:
                     raise FriError("not an RS code")
                 first = Fp(int.from_bytes(ch[0].tobytes(), "little"))
             else:
-                vals = limbs.unpack_ints(np.asarray(nxt))
+                vals = limbs.unpack_ints(fetch(nxt))
                 first = Fp(int(vals[0]))
                 if not all(int(v) == first.v for v in vals):
                     raise FriError("not an RS code")
@@ -394,7 +395,7 @@ class FriProverData:
         if pending:
             from .sha256 import digests_to_bytes
 
-            fetched = jax.device_get(tuple(t.layers[-1] for t in pending))
+            fetched = device_get_tree(tuple(t.layers[-1] for t in pending))
             for t, words in zip(pending, fetched):
                 t._root_bytes = digests_to_bytes(words)[0].tobytes()
         return [t.root_bytes() for t in self.trees]

@@ -26,6 +26,7 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .dist import device_get_tree, fetch
 from .field.scalar import Fp
 from .sha256 import digests_to_bytes, limbs_to_words, sha256_words
 
@@ -196,7 +197,7 @@ class MerkleTree:
 
     def root_bytes(self) -> bytes:
         if self._root_bytes is None:
-            self._root_bytes = digests_to_bytes(np.asarray(self.layers[-1]))[0].tobytes()
+            self._root_bytes = digests_to_bytes(fetch(self.layers[-1]))[0].tobytes()
         return self._root_bytes
 
     # -- opening -------------------------------------------------------------
@@ -204,7 +205,7 @@ class MerkleTree:
         """Open many indices at once: ONE device dispatch gathers all leaf
         payloads and sibling digests for every query and level."""
         idx = np.asarray(list(indices), dtype=np.int32)
-        vals_dev, sibs_dev = jax.device_get(
+        vals_dev, sibs_dev = device_get_tree(
             _gather_openings(tuple(self.layers), self.leaf_columns, jnp.asarray(idx))
         )
         return _assemble_paths(vals_dev, sibs_dev, idx)
@@ -221,7 +222,7 @@ class MerkleTree:
         # ONE bulk device->host fetch for every tree's gathered arrays: per-
         # array np.asarray would pay a tunnel round-trip each (~8 trees x 2
         # arrays dominated the whole query phase at 2^20).
-        outs = jax.device_get(outs)
+        outs = device_get_tree(outs)
         return [
             _assemble_paths(vals, sibs, ix)
             for (vals, sibs), ix in zip(outs, idx_arrays)

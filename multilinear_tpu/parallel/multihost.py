@@ -46,15 +46,18 @@ def initialize_and_mesh(
     """
     import jax
 
-    if jax.process_count() == 1 and (coordinator or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif coordinator is None and num_processes is None:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / already initialized
+    # NB: must not touch jax.devices()/process_count() before initialize -
+    # those calls initialise the XLA backend and make initialize() raise.
+    if not jax.distributed.is_initialized():
+        if coordinator or num_processes:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                pass  # single-process environment
     return make_mesh(jax.devices())

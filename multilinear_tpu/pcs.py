@@ -28,6 +28,7 @@ from typing import List, Sequence
 import jax
 import jax.numpy as jnp
 
+from .dist import device_get_tree
 from .field import limbs, ops
 from .field.scalar import Fp, TWO_INV
 from .fri import (
@@ -172,7 +173,7 @@ def _device_rounds(
         return 0, [], previous_sum
 
     # one synchronization: fetch the round scalars + final transcript state
-    fetched = jax.device_get((outs, tr_state, prev))
+    fetched = device_get_tree((outs, tr_state, prev))
     outs_h, tr_h, prev_h = fetched
     pols = [
         SumcheckPoly([

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .field import limbs, ops
+from .dist import device_get_tree, fetch
 from .field.scalar import Fp, TWO_INV, ZERO
 from .mle import delta_table
 from .poly import Polynomial, PolynomialEvals
@@ -268,15 +269,15 @@ def _chunked_partial_sums(data, aux_limbs, total_degree: int, composition: Compo
             )
             for s in range(0, off, C)
         ]
-        for dev in jax.device_get(chunk_sums):
-            vals = limbs.unpack_ints(np.asarray(dev))
+        for dev in device_get_tree(chunk_sums):
+            vals = limbs.unpack_ints(dev)
             for i in range(total_degree):
                 totals[i] = (totals[i] + int(vals[i])) % P
         return totals
     sums_dev = _chunked_partial_sums_kernel(
         data, aux_limbs, C, total_degree, composition
     )
-    return [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
+    return [int(v) for v in limbs.unpack_ints(fetch(sums_dev))]
 
 
 def identity_composition(cols: Sequence[ops.FA]) -> ops.FA:
@@ -386,7 +387,7 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
         metas.append(meta)
     if not metas:
         return 0, [], [], previous_sum
-    metas_h, tr_h, prev_h = jax.device_get((metas, tr_state, prev))
+    metas_h, tr_h, prev_h = device_get_tree((metas, tr_state, prev))
     pols = []
     randoms = []
     for r_l, cs, _p in metas_h:
@@ -449,7 +450,7 @@ class SumcheckTables:
     def _maybe_to_host(self) -> None:
         if self.host_matrix is not None or self.height > HOST_THRESHOLD():
             return
-        raw = limbs.to_le_bytes(np.asarray(self.data))
+        raw = limbs.to_le_bytes(fetch(self.data))
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(self.width + 1, self.height, 16)
         self.host_matrix = [arr[j].copy() for j in range(self.width)]
         self.host_delta = arr[self.width].copy()
@@ -484,7 +485,7 @@ class SumcheckTables:
         n_vars = len(inputs)
         assert 1 << n_vars == height
         if height <= HOST_THRESHOLD():
-            col = [int(v) for v in limbs.unpack_ints(np.asarray(evals))]
+            col = [int(v) for v in limbs.unpack_ints(fetch(evals))]
             return SumcheckTables._host_from_ints(
                 [col], _host_delta_table(inputs), 1, height
             )
@@ -505,7 +506,7 @@ class SumcheckTables:
         _, width, height = trace_columns.shape
         assert 1 << len(row_challenges) == height
         if height <= HOST_THRESHOLD():
-            m = limbs.unpack_ints(np.asarray(trace_columns))
+            m = limbs.unpack_ints(fetch(trace_columns))
             cols = [[int(v) for v in m[j]] for j in range(width)]
             return SumcheckTables._host_from_ints(
                 cols, _host_delta_table(row_challenges), width, height
@@ -545,7 +546,7 @@ class SumcheckTables:
                 sums_dev = _partial_sums_kernel(
                     self.data, aux_limbs, total_degree, composition
                 )
-                sums = [int(v) for v in limbs.unpack_ints(np.asarray(sums_dev))]
+                sums = [int(v) for v in limbs.unpack_ints(fetch(sums_dev))]
         evals = [ZERO] * (total_degree + 1)
         for i in range(1, total_degree + 1):
             evals[i] = Fp(sums[i - 1])

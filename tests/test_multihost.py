@@ -1,0 +1,74 @@
+"""Multi-host SPMD: 2 jax.distributed processes on localhost, 4 virtual
+CPU devices each, proving over the 8-device global mesh.
+
+Exercises multilinear_tpu.parallel.multihost.initialize_and_mesh (flagged
+as dead code in round 1) end-to-end: a sharded PCS prove whose device->
+host crossings all-gather through multilinear_tpu.dist, asserting BOTH
+processes emit the same proof bytes as an uninterrupted single-process
+prove of the same claim.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multilinear_tpu.field import limbs
+from multilinear_tpu.field.scalar import Fp
+from multilinear_tpu.mle import evaluate_evals_host
+from multilinear_tpu.pcs import PCSProof
+from multilinear_tpu.serialize import pcs_proof_to_bytes
+from multilinear_tpu.transcript import Transcript
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_prove_matches_single():
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("XLA_", "JAX_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    shas = []
+    for i, out in enumerate(outs):
+        assert procs[i].returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        m = re.search(rf"\[{i}\] PROOF_SHA (\w+)", out)
+        assert m, f"worker {i} printed no proof sha:\n{out[-3000:]}"
+        assert f"[{i}] VERIFY_OK" in out
+        shas.append(m.group(1))
+    assert shas[0] == shas[1]
+
+    # single-process reference proof of the identical claim
+    n = 10
+    h = 1 << n
+    vals = (np.arange(h, dtype=np.uint64) * 7 + 3).tolist()
+    evals = jnp.asarray(limbs.pack_ints(vals))
+    inputs = [Fp(i) for i in range(n)]
+    output = evaluate_evals_host(evals, inputs)
+    proof = PCSProof.prove(inputs, output, evals, Transcript())
+    import hashlib
+
+    assert hashlib.sha256(pcs_proof_to_bytes(proof)).hexdigest() == shas[0]
