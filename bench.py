@@ -334,6 +334,50 @@ def _driver_mode(deadline_s: float):
     emit()
 
 
+def bench_pcs_phases(log_n: int):
+    """Per-phase wall-clock map of one warm PCS prove (JSON on stdout).
+
+    Parity with the round-1 'phase map' that lived only in CLAUDE.md
+    prose: this one is tool-generated, so round-over-round regressions
+    are attributable.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.transcript import Transcript
+    from multilinear_tpu.utils import collect_phases
+
+    h = 1 << log_n
+    vals = (np.arange(h, dtype=np.uint64) * 7 + 3).tolist()
+    evals = jnp.asarray(limbs.pack_ints(vals))
+    evals.block_until_ready()
+    inputs = [Fp(i) for i in range(log_n)]
+    output = evaluate_evals_host(evals, inputs)
+
+    PCSProof.prove(inputs, output, evals, Transcript())  # warmup
+    best = None
+    # the first phases run warms the sync-slice programs; take the best of
+    # two so the map reflects steady state
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with collect_phases() as phases:
+            PCSProof.prove(inputs, output, evals, Transcript())
+        total = time.perf_counter() - t0
+        if best is None or total < best[0]:
+            best = (total, dict(phases))
+    total, phases = best
+    return {
+        "metric": f"pcs_phase_map_2^{log_n}",
+        "unit": "s",
+        "total": round(total, 4),
+        "phases": {k: round(v, 4) for k, v in phases.items()},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n", type=int, default=None)
@@ -342,7 +386,16 @@ def main():
         choices=["pcs", "ntt", "fri", "sumcheck", "batched-pcs", "snark"],
         default="pcs",
     )
+    ap.add_argument(
+        "--phases", action="store_true",
+        help="print a per-phase wall-clock map of one warm PCS prove",
+    )
     args = ap.parse_args()
+
+    if args.phases:
+        _setup_jax()
+        print(json.dumps(bench_pcs_phases(args.log_n or 20)))
+        return
 
     if args.log_n is None:
         _driver_mode(float(os.environ.get("MLT_BENCH_DEADLINE_S", "480")))

@@ -32,9 +32,13 @@ class ProverConfig:
     # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
     # SHA-256 layers).  None = auto: on when running on a single real TPU
     # device; off on CPU and under multi-device GSPMD sharding (Pallas
-    # calls are opaque to the XLA partitioner - the sharded path keeps the
-    # jnp kernels).  True/False force.  Purely a performance knob;
-    # results are bit-identical (pinned by tests/test_pallas.py).
+    # calls are opaque to the XLA partitioner - the GSPMD path keeps the
+    # jnp kernels).  Multi-device meshes get the fast kernels via the
+    # EXPLICIT shard_map round instead (parallel/shard_step.py: each shard
+    # is a local single-device block, so the Pallas kernels run per shard
+    # at any mesh size; bit-identical, tests/test_shard_step.py).
+    # True/False force.  Purely a performance knob; results are
+    # bit-identical (pinned by tests/test_pallas.py).
     #
     # CAVEAT: the choice is read at TRACE time inside jitted functions and
     # jax caches compiled programs by shape - set use_pallas BEFORE the

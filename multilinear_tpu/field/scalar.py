@@ -106,9 +106,20 @@ class Fp:
 
     @staticmethod
     def from_bytes(b: bytes) -> "Fp":
+        """Parse 16 LE bytes, REJECTING non-canonical (>= p) encodings.
+
+        This is the untrusted-deserialization boundary (serialize.py).
+        Accepting v >= p would make proofs malleable: the verifier
+        re-serializes canonically during transcript replay, so v and
+        v - p would replay identically while differing on the wire.
+        winterfell's deserialization rejects non-canonical values too.
+        """
         if len(b) != 16:
             raise ValueError("Field128 encoding must be 16 bytes")
-        return Fp(int.from_bytes(b, "little"))
+        v = int.from_bytes(b, "little")
+        if v >= P:
+            raise ValueError("non-canonical Field128 encoding")
+        return Fp(v)
 
 
 ZERO = Fp(0)

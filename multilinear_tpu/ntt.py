@@ -144,51 +144,57 @@ def _bitrev_axis2(x, log_m: int):
     return jnp.take(x, idx, axis=x.ndim - 2)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _build_twiddle_matrix(pows, log_n: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def _build_twiddle_factors(pows, log_n: int, split: int):
+    """Rank-structured four-step twiddles: two SMALL factor matrices.
+
+    The dense (8, A, B) matrix T[a, b] = w^(a*b mod n) is 1 GiB at the
+    2^25 encode domain and cost a full-size gather to build every call.
+    Factor the row index a = k*S + d (S = 2^split):
+
+        T[a, b] = w^(k*S*b) * w^(d*b) = Tc[k, b] * Tf[d, b]
+
+    exactly in the field, so the transform multiplies by two broadcast
+    factors of (A/S)*B and S*B entries (~a few MB total at 2^25) instead
+    of materializing T at all.  This removes both the build gather and
+    the HBM-pressure reason the dense cache was capped at 2^24.
+    """
     n = 1 << log_n
     a = (log_n + 1) // 2
     b = log_n - a
     A, B = 1 << a, 1 << b
-    ia = jnp.arange(A, dtype=jnp.uint32)
+    S = 1 << split
     ib = jnp.arange(B, dtype=jnp.uint32)
-    e = (ia[:, None] * ib[None, :]) & jnp.uint32(n - 1)
-    e_lo = (e & jnp.uint32(n // 2 - 1)).astype(jnp.int32)
-    negate = e >= jnp.uint32(n // 2)
-    T = jnp.take(pows, e_lo, axis=-1)  # (8, A, B)
-    return ops.select(jnp.broadcast_to(negate, T.shape[1:]), ops.neg(T), T)
+
+    def factor(rows: int, step: int):
+        ir = jnp.arange(rows, dtype=jnp.uint32) * jnp.uint32(step)
+        e = (ir[:, None] * ib[None, :]) & jnp.uint32(n - 1)
+        e_lo = (e & jnp.uint32(n // 2 - 1)).astype(jnp.int32)
+        negate = e >= jnp.uint32(n // 2)
+        T = jnp.take(pows, e_lo, axis=-1)
+        return ops.select(jnp.broadcast_to(negate, T.shape[1:]), ops.neg(T), T)
+
+    return factor(A // S, S), factor(S, 1)
 
 
-# Cache the four-step twiddle matrix for domains up to 2^24 (<= 512 MB):
-# rebuilding it inside every transform cost a 2^n-element gather per call
-# (~270 ms at 2^24).  Bigger domains build it per call and hand it to the
-# transform as a donated operand - a permanently resident 1 GiB constant
-# for the 2^25 encode domain pushed the 2^24 prover's peak past what the
-# shared chip tolerates under co-tenant HBM pressure.
-_TWIDDLE_CACHE_MAX_LOG = 24
-
-
-@lru_cache(maxsize=16)
-def _twiddle_matrix_cached(gen_v: int, log_n: int):
+@lru_cache(maxsize=32)
+def _twiddle_factors_cached(gen_v: int, log_n: int):
+    a = (log_n + 1) // 2
+    split = a // 2  # balances the two factor sizes at ~sqrt(A)*B each
     pows = _pow_table(gen_v, log_n - 1) if log_n else _pow_table(1, 0)
-    return _build_twiddle_matrix(pows, log_n)
+    return _build_twiddle_factors(pows, log_n, split)
 
 
-def _twiddle_matrix(gen_v: int, log_n: int):
-    if log_n <= _TWIDDLE_CACHE_MAX_LOG:
-        return _twiddle_matrix_cached(gen_v, log_n)
-    pows = _pow_table(gen_v, log_n - 1)
-    return _build_twiddle_matrix(pows, log_n)
-
-
-def _ntt_fourstep_impl(x, pows, T, log_n: int):
+def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
     """Four-step NTT: natural order in, natural order out.
 
-    n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), a twiddle-matrix
-    multiply (``T`` is the cached (8, A, B) constant), an XLA tiled
-    transpose, then row-group NTTs (again axis -2).  Every intermediate
-    keeps a wide trailing dimension.  ``pows``: (8, n/2) first-half power
-    table of the full domain.  Verified bit-exact vs the scalar model.
+    n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), the twiddle
+    multiply via the two rank-structured factors ``Tc``/``Tf`` (see
+    _build_twiddle_factors - no dense (8, A, B) matrix is ever
+    materialized), an XLA tiled transpose, then row-group NTTs (again
+    axis -2).  Every intermediate keeps a wide trailing dimension.
+    ``pows``: (8, n/2) first-half power table of the full domain.
+    Verified bit-exact vs the scalar model.
 
     (History: the transpose was once a flat gather to dodge transposed-
     layout propagation; measured at 2^24 the tiled ``swapaxes`` transpose
@@ -211,10 +217,18 @@ def _ntt_fourstep_impl(x, pows, T, log_n: int):
 
     F = _bitrev_axis2(_pease_axis2(M, powsA, a), a)
 
-    if lead:
-        T = T.reshape((8,) + (1,) * len(lead) + (A, B))
-        T = jnp.broadcast_to(T, F.shape)
-    G = ops.mul(F, T)
+    # twiddle multiply: T[a, b] = Tc[a >> split, b] * Tf[a & (S-1), b];
+    # the broadcasts fuse into the muls inside this jit - no dense T
+    S = Tf.shape[-2]
+    Fr = F.reshape((8,) + lead + (A // S, S, B))
+    lead1 = (1,) * len(lead)
+    Tc_b = jnp.broadcast_to(
+        Tc.reshape((8,) + lead1 + (A // S, 1, B)), Fr.shape
+    )
+    Tf_b = jnp.broadcast_to(
+        Tf.reshape((8,) + lead1 + (1, S, B)), Fr.shape
+    )
+    G = ops.mul(ops.mul(Fr, Tc_b), Tf_b).reshape(F.shape)
 
     Gt = jnp.swapaxes(G, G.ndim - 2, G.ndim - 1)  # lead + (B, A)
 
@@ -223,37 +237,28 @@ def _ntt_fourstep_impl(x, pows, T, log_n: int):
     return H.reshape((8,) + lead + (n,))
 
 
-_ntt_fourstep = partial(jax.jit, static_argnums=(3,))(_ntt_fourstep_impl)
-# Donating variants: the input for call sites whose coefficient buffer is
-# transient (the RS-encode pipeline - frees 1 GB at 2^25), and the twiddle
-# matrix for big domains where it is built per call (see _twiddle_matrix).
-_ntt_fourstep_donated = partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))(
+_ntt_fourstep = partial(jax.jit, static_argnums=(4,))(_ntt_fourstep_impl)
+# Donating variant for call sites whose coefficient buffer is transient
+# (the RS-encode pipeline - frees 1 GB at 2^25).  The twiddle factors are
+# a few MB and cached across proofs at every size, so they are never
+# donated.
+_ntt_fourstep_donated = partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))(
     _ntt_fourstep_impl
 )
-_ntt_fourstep_donated_xT = partial(
-    jax.jit, static_argnums=(3,), donate_argnums=(0, 2)
-)(_ntt_fourstep_impl)
-_ntt_fourstep_donated_T = partial(
-    jax.jit, static_argnums=(3,), donate_argnums=(2,)
-)(_ntt_fourstep_impl)
 
 
 def fourstep_transform(x, gen_v: int, log_n: int, donate: bool = False):
     """Four-step transform for the domain generated by ``gen_v``.
 
-    Resolves the cached power table and twiddle matrix for the generator
+    Resolves the cached power table and twiddle factors for the generator
     and dispatches the (optionally input-donating) jitted transform.
     """
     if log_n == 0:
         return x
     pows = _pow_table(gen_v, log_n - 1)
-    T = _twiddle_matrix(gen_v, log_n)
-    big = log_n > _TWIDDLE_CACHE_MAX_LOG
-    if big:
-        fn = _ntt_fourstep_donated_xT if donate else _ntt_fourstep_donated_T
-    else:
-        fn = _ntt_fourstep_donated if donate else _ntt_fourstep
-    return fn(x, pows, T, log_n)
+    Tc, Tf = _twiddle_factors_cached(gen_v, log_n)
+    fn = _ntt_fourstep_donated if donate else _ntt_fourstep
+    return fn(x, pows, Tc, Tf, log_n)
 
 
 def ntt(coeffs, pows=None):

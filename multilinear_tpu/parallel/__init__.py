@@ -63,3 +63,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_hypercube(arr, mesh: Mesh):
     """Place a (8, ..., 2^k) limb array with the hypercube axis sharded."""
     return jax.device_put(arr, hypercube_sharding(mesh, arr.ndim))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """NamedSharding distributing the BATCH axis (axis 1 of (8, B, h))
+    across devices - the expert-parallel analog for the batched PCS
+    (SURVEY.md section 2.3): each device owns whole polynomials, so the
+    per-poly encodes (Moebius + bit-reversal + NTT) run with zero
+    cross-device traffic and only the column Merkle commit and the
+    fingerprint RLC reduce across the mesh."""
+    spec = [None] * ndim
+    spec[1] = ROWS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(polys, mesh: Mesh):
+    """Place a (8, B, 2^k) batched-MLE array with the batch axis sharded."""
+    return jax.device_put(polys, batch_sharding(mesh, polys.ndim))

@@ -298,9 +298,18 @@ class PCSProverSession:
         height = evals.shape[-1]
         assert 1 << self.n_vars == height
         self.transcript = transcript
+        from .utils import PhaseTimer
+
+        pt = PhaseTimer()
         code = encode_mle_for_fri(evals)
+        pt.mark("encode", sync=code)
         self.fri_data = FriProverData.init(code, transcript)
+        pt.mark("commit_l0")  # root_bytes() inside init is the sync
         self.tables = SumcheckTables.for_pcs(self.inputs, evals)
+        if self.tables.data is not None:
+            pt.mark("tables", sync=self.tables.data)
+        else:
+            pt.mark("tables")
         self.k = 0
         self.previous_sum = self.output
         self.pols: List[SumcheckPoly] = []
@@ -316,6 +325,9 @@ class PCSProverSession:
         # Oversized leading rounds (program budget, config
         # fused_round_max_code) run host-driven with chunked kernels; the
         # zero-sync streaming resumes as soon as shapes fit.
+        from .utils import PhaseTimer
+
+        pt = PhaseTimer()
         while self.k < end:
             if max_rounds is None:
                 dev_done, dev_pols, self.previous_sum = _device_rounds(
@@ -329,12 +341,20 @@ class PCSProverSession:
                     self.pols.extend(dev_pols)
                     self.k += dev_done
                     done += dev_done
+                    pt.mark("rounds_streaming")  # ends in its own device_get
                     continue
             pol, r, self.previous_sum = self.tables.round_poly(
                 identity_composition, 2, self.previous_sum, self.transcript
             )
             self.pols.append(pol)
             fused_pcs_fold(self.tables, self.fri_data, self.k, r, self.transcript)
+            # oversized chunked rounds sync per-round via the round poly;
+            # host-tail rounds are host work already
+            pt.mark(
+                "rounds_oversized"
+                if self.tables.data is not None
+                else "rounds_host_tail"
+            )
             self.k += 1
             done += 1
         return done
@@ -342,6 +362,9 @@ class PCSProverSession:
     def finish(self) -> "PCSProof":
         assert self.k == self.n_vars
         assert self.fri_data.last_element is not None
+        from .utils import PhaseTimer
+
+        pt = PhaseTimer()
         transcript = self.transcript
         domain_size = 1 << (self.n_vars + LOG_BLOWUP)
         indices = []
@@ -350,6 +373,7 @@ class PCSProverSession:
             indices.append(idx)
             transcript.absorb_index(idx)
         queries = self.fri_data.open_queries(indices)
+        pt.mark("queries")
         fri_proof = FriProof(
             commitments=self.fri_data.fold_roots(),
             queries=queries,

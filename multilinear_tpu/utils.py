@@ -43,3 +43,48 @@ def trace(log_dir: str, label: Optional[str] = None) -> Iterator[None]:
                 yield
         else:
             yield
+
+
+# -- phase map ----------------------------------------------------------------
+#
+# Per-phase wall-clock attribution for the PCS prover (bench.py --phases).
+# Inactive by default: PhaseTimer.mark is a no-op unless collect_phases()
+# is live, so the hot path pays one None check per phase boundary.  When
+# active, each mark fetches an O(1) slice of the given array first -
+# block_until_ready is not a reliable completion barrier over the remote
+# tunnel, a tiny device_get is (CLAUDE.md).
+
+_PHASES: Optional[dict] = None
+
+
+@contextlib.contextmanager
+def collect_phases() -> Iterator[dict]:
+    """Activate phase collection; yields the dict the timers fill."""
+    global _PHASES
+    _PHASES = {}
+    try:
+        yield _PHASES
+    finally:
+        _PHASES = None
+
+
+class PhaseTimer:
+    def __init__(self):
+        self._t = time.perf_counter() if _PHASES is not None else None
+
+    def mark(self, name: str, sync=None) -> None:
+        """Attribute time since the previous mark to ``name``.
+
+        ``sync``: optional device array whose first element is fetched to
+        force completion of the phase's async work before reading the
+        clock.
+        """
+        if _PHASES is None:
+            return
+        if sync is not None:
+            import jax
+
+            jax.device_get(sync.reshape(-1)[:1])
+        now = time.perf_counter()
+        _PHASES[name] = _PHASES.get(name, 0.0) + now - self._t
+        self._t = now

@@ -83,3 +83,28 @@ def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
+
+
+def test_batched_pcs_identical_under_batch_sharding(mesh):
+    """Expert-parallel analog (SURVEY.md 2.3): the B polynomials of a
+    batched PCS distributed one-per-device; proof bytes must match the
+    unsharded prove."""
+    from multilinear_tpu.batched_pcs import BatchedPCSClaim, BatchedPCSProof
+    from multilinear_tpu.parallel import shard_batch
+    from multilinear_tpu.serialize import batched_pcs_proof_to_bytes
+
+    n, B = 8, 8
+    h = 1 << n
+    vals = np.arange(B * h, dtype=np.uint64) * 11 + 5
+    polys = jnp.asarray(limbs.pack_ints(vals, shape=(B, h)))
+    inputs = [Fp(i + 2) for i in range(n)]
+    outputs = [evaluate_evals_host(polys[:, j], inputs) for j in range(B)]
+    claim = BatchedPCSClaim(list(inputs), list(outputs))
+
+    ref = BatchedPCSProof.prove(claim, polys, Transcript())
+    sharded = shard_batch(polys, mesh)
+    got = BatchedPCSProof.prove(
+        BatchedPCSClaim(list(inputs), list(outputs)), sharded, Transcript()
+    )
+    assert batched_pcs_proof_to_bytes(got) == batched_pcs_proof_to_bytes(ref)
+    got.verify(Transcript())

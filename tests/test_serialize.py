@@ -112,3 +112,29 @@ def test_snark_proof_truncation_rejected():
     buf = serialize.snark_proof_to_bytes(proof)
     with pytest.raises((ValueError, struct.error)):
         serialize.snark_proof_from_bytes(buf[:-7])
+
+
+def test_non_canonical_field_encoding_rejected():
+    """Encodings >= p must be rejected at deserialization (malleability:
+    v and v+p would otherwise replay identically)."""
+    from multilinear_tpu.field.scalar import P, Fp
+    from multilinear_tpu.fri import FriProof
+    from multilinear_tpu.ntt import reed_solomon
+
+    with pytest.raises(ValueError):
+        Fp.from_bytes((P + 1).to_bytes(16, "little"))
+    with pytest.raises(ValueError):
+        Fp.from_bytes(b"\xff" * 16)
+
+    # end-to-end: overwrite the proof's last_elem with an all-ones
+    # encoding (2^128 - 1 >= p) - the parser must reject it
+    code = reed_solomon(jnp.asarray(limbs.pack_ints([1, 2, 3, 4])))
+    from multilinear_tpu.transcript import Transcript
+
+    proof = FriProof.prove(code, Transcript())
+    buf = bytearray(serialize.fri_proof_to_bytes(proof))
+    # last 48 bytes = last_elem (16) + last_random (32)
+    off = len(buf) - 48
+    buf[off : off + 16] = b"\xff" * 16
+    with pytest.raises(ValueError):
+        serialize.fri_proof_from_bytes(bytes(buf))

@@ -21,6 +21,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
+def _set_pallas(v):
+    # use_pallas is read at TRACE time and jit caches by shape: without
+    # clearing the trace caches, toggling mid-process silently keeps the
+    # first-traced kernel (round-1 advisor finding).  The persistent
+    # compile cache makes the retraces cheap.
+    import jax
+
+    from multilinear_tpu import config as cfg
+
+    cfg.get_config().use_pallas = v
+    jax.clear_caches()
+
+
 def _timed(fn, *args, reps: int = 3):
     import jax
 
@@ -61,9 +74,9 @@ def main() -> int:
     a, b = rand_limbs(N), rand_limbs(N)
 
     # --- field mul -------------------------------------------------------
-    cfg.get_config().use_pallas = False
+    _set_pallas(False)
     want, _ = _timed(ops.mul, a, b)
-    cfg.get_config().use_pallas = True
+    _set_pallas(True)
     got, dt = _timed(ops.mul, a, b)
     okay = np.array_equal(np.asarray(want), np.asarray(got))
     failures += not okay
@@ -73,9 +86,9 @@ def main() -> int:
     code, tw = rand_limbs(2 * N), rand_limbs(N)
     r = jnp.asarray(limbs.pack_scalar(Fp(1234567890123)))
     h = jnp.asarray(limbs.pack_scalar(TWO_INV))
-    cfg.get_config().use_pallas = False
+    _set_pallas(False)
     want, _ = _timed(fri_mod._fold_codeword, code, tw, r, h)
-    cfg.get_config().use_pallas = True
+    _set_pallas(True)
     got, dt = _timed(fri_mod._fold_codeword, code, tw, r, h)
     okay = np.array_equal(np.asarray(want), np.asarray(got))
     failures += not okay
@@ -83,9 +96,9 @@ def main() -> int:
 
     # --- SHA-256 ---------------------------------------------------------
     msgs = jnp.asarray(rng.integers(0, 1 << 32, size=(16, 1 << 20), dtype=np.uint32))
-    cfg.get_config().use_pallas = False
+    _set_pallas(False)
     want, _ = _timed(lambda m: sha256.sha256_words(m, 16), msgs)
-    cfg.get_config().use_pallas = True
+    _set_pallas(True)
     got, dt = _timed(lambda m: sha256_pallas.sha256_words(m, 16), msgs)
     okay = np.array_equal(np.asarray(want), np.asarray(got))
     failures += not okay
@@ -95,15 +108,38 @@ def main() -> int:
     from multilinear_tpu.ntt import ntt
 
     x = rand_limbs(1 << 20)
-    cfg.get_config().use_pallas = False
+    _set_pallas(False)
     want, _ = _timed(ntt, x)
-    cfg.get_config().use_pallas = True
+    _set_pallas(True)
     got, dt = _timed(ntt, x)
     okay = np.array_equal(np.asarray(want), np.asarray(got))
     failures += not okay
     print(f"ntt 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
 
-    cfg.get_config().use_pallas = None
+    # --- shard_map round with Pallas body (multi-chip fast path) ---------
+    from multilinear_tpu.parallel import hypercube_sharding, make_mesh
+    from multilinear_tpu.parallel.shard_step import make_sharded_round
+    from multilinear_tpu.parallel.step import pcs_prover_round
+
+    mesh = make_mesh()  # 1 real chip here; same code spans real meshes
+    hn = 1 << 20
+    data = jax.device_put(
+        jnp.stack([rand_limbs(hn), rand_limbs(hn)], axis=1),
+        hypercube_sharding(mesh, 3),
+    )
+    codearr = jax.device_put(rand_limbs(2 * hn), hypercube_sharding(mesh, 2))
+    tw2 = jax.device_put(rand_limbs(hn), hypercube_sharding(mesh, 2))
+    _set_pallas(False)
+    want, _ = _timed(pcs_prover_round, data, codearr, tw2, r, h)
+    _set_pallas(True)
+    got, dt = _timed(make_sharded_round(mesh), data, codearr, tw2, r, h)
+    okay = all(
+        np.array_equal(np.asarray(w), np.asarray(g)) for w, g in zip(want, got)
+    )
+    failures += not okay
+    print(f"shard_map round 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    _set_pallas(None)
     print("ALL OK" if not failures else f"{failures} FAILURES")
     return 1 if failures else 0
 
