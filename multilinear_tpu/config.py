@@ -47,6 +47,12 @@ class ProverConfig:
     # (results stay identical; only which kernel runs differs).  Flip it in
     # a fresh process (or jax.clear_caches()) for benchmarking comparisons.
     use_pallas: Optional[bool] = None
+    # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
+    # SURVEY.md section 5): when True, protocol-boundary kernels attach a
+    # host callback asserting every field element is canonical (16-bit
+    # limbs, value < p).  Read at TRACE time like use_pallas - set it
+    # before the first call of each shape.  Large overhead; tests only.
+    debug_checks: bool = False
 
 
 def pallas_enabled() -> bool:

@@ -478,3 +478,49 @@ def _coerce(o, like):
     if isinstance(o, int) or hasattr(o, "v"):
         return broadcast_scalar(pack_scalar(o), like.shape[1:])
     return o
+
+
+# ---------------------------------------------------------------------------
+# debug-mode sanitizer (SURVEY.md section 5: overflow-guard analog)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_violation(arr) -> str:
+    """Host check: '' if every element is a canonical residue."""
+    a = np.asarray(arr)
+    if (a >> 16).any():
+        return "limb >= 2^16"
+    flat = a.reshape(NLIMBS, -1).astype(object)
+    v = np.zeros(flat.shape[1], dtype=object)
+    for i in range(NLIMBS - 1, -1, -1):
+        v = (v << 16) | flat[i]
+    p = 0
+    for i in range(NLIMBS - 1, -1, -1):
+        p = (p << 16) | int(_P[i])
+    if (v >= p).any():
+        return "value >= p"
+    return ""
+
+
+def debug_guard(x, tag: str):
+    """Attach a canonical-form assertion to ``x`` when debug_checks is on.
+
+    Identity (zero cost) unless ``config.debug_checks`` was True when the
+    enclosing function was TRACED.  With it on, a ``jax.debug.callback``
+    ships the array to the host and raises on the first non-canonical
+    element - catching limb-arithmetic bugs (overflowed accumulators,
+    missed reductions) at the kernel that produced them rather than as a
+    wrong proof far downstream.
+    """
+    from ..config import get_config
+
+    if not get_config().debug_checks:
+        return x
+
+    def _check(a, tag=tag):
+        msg = _canonical_violation(a)
+        if msg:
+            raise AssertionError(f"non-canonical field element after {tag}: {msg}")
+
+    jax.debug.callback(_check, x)
+    return x

@@ -71,7 +71,9 @@ def _fold_codeword(code, twiddles, r_limbs, half_limbs):
     odd = ops.mul(ops.sub(a, b), twiddles)
     rb = ops.broadcast_scalar(r_limbs, odd.shape[1:])
     hb = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    return ops.mul(ops.add(even, ops.mul(rb, odd)), hb)
+    return ops.debug_guard(
+        ops.mul(ops.add(even, ops.mul(rb, odd)), hb), "FRI fold"
+    )
 
 
 def _commit_code(code) -> MerkleTree:

@@ -111,6 +111,10 @@ def make_sharded_round(mesh):
         mesh=mesh,
         in_specs=(shard, shard, shard2, shard2, shard2, rep, rep),
         out_specs=(rep, shard, shard2),
+        # Pallas calls don't carry varying-mesh-axes metadata, so the
+        # static replication check cannot see through them; outputs'
+        # actual replication is pinned by tests/test_shard_step.py
+        check_vma=False,
     )
 
     @jax.jit

@@ -180,7 +180,12 @@ def _fold_kernel(data, r_limbs):
     covers all trace columns and the delta column."""
     h = data.shape[-1]
     off = h // 2
-    return _lin_ext(data[..., :off], data[..., off:], r_limbs)
+    # guard the INPUT as well: the limb-masked arithmetic silently drops
+    # out-of-range bits, so output-only checks would launder corruption
+    data = ops.debug_guard(data, "sumcheck fold input")
+    return ops.debug_guard(
+        _lin_ext(data[..., :off], data[..., off:], r_limbs), "sumcheck fold"
+    )
 
 
 @partial(jax.jit, static_argnums=(3, 4))
