@@ -29,6 +29,12 @@ class ProverConfig:
     fused_round_max_code: int = 1 << 23
     # Value elements per chunked dispatch in the big-round path.
     kernel_chunk: int = 1 << 22
+    # Stream oversized rounds as ONE device program each (chunked kernels
+    # + on-device Fiat-Shamir, zero host syncs).  Larger per-program
+    # footprint than the host-driven chunked dispatches; prove_with_retry
+    # turns this off on RESOURCE_EXHAUSTED pressure.  Bit-identical
+    # either way (pinned by tests).
+    stream_oversized: bool = True
     # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
     # SHA-256 layers).  None = auto: on when running on a single real TPU
     # device; off on CPU and under multi-device GSPMD sharding (Pallas

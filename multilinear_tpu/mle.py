@@ -109,13 +109,43 @@ def to_coeffs(evals):
 _CHUNK_VARS = 8
 
 
-@jax.jit
 def _kron_mul(a, b):
     """Tensor-product combine: (8, m), (8, n) -> (8, m*n), out[i*n+j] = a[i]*b[j]."""
     m, n = a.shape[1], b.shape[1]
     aa = jnp.broadcast_to(a[:, :, None], (8, m, n))
     bb = jnp.broadcast_to(b[:, None, :], (8, m, n))
     return ops.mul(aa, bb).reshape(8, m * n)
+
+
+def combine_subtables(subs):
+    """Traceable left fold of sub-table tensor products: (c0 (x) c1) (x) c2 ...
+
+    Callers that need the full table in their own jit (e.g. the fused
+    sumcheck-table build) trace this directly, turning the whole delta
+    construction into part of ONE program instead of one eager dispatch
+    per kron level.
+    """
+    d = subs[0]
+    for s in subs[1:]:
+        d = _kron_mul(d, s)
+    return d
+
+
+_combine_subtables_jit = jax.jit(combine_subtables)
+
+
+def factor_subtables(factors):
+    """Host-built device sub-tables of <= _CHUNK_VARS variables each."""
+    chunks = [factors[i : i + _CHUNK_VARS] for i in range(0, len(factors), _CHUNK_VARS)]
+    return [jnp.asarray(limbs.pack_ints(_host_factor_table(c))) for c in chunks]
+
+
+def delta_subtables(points):
+    """Sub-tables whose tensor product is delta_table(points), or None if empty."""
+    pts = [Fp(p) for p in points]
+    if not pts:
+        return None
+    return factor_subtables([((ONE - p).v, p.v) for p in pts])
 
 
 def _host_factor_table(factors):
@@ -134,16 +164,7 @@ def _host_factor_table(factors):
 
 def _product_table(factors):
     """Device (8, 2^n) table from per-variable factor pairs (host ints)."""
-    n_vars = len(factors)
-    chunks = [factors[i : i + _CHUNK_VARS] for i in range(0, n_vars, _CHUNK_VARS)]
-    sub = [
-        jnp.asarray(limbs.pack_ints(_host_factor_table(c)))
-        for c in chunks
-    ]
-    d = sub[0]
-    for s in sub[1:]:
-        d = _kron_mul(d, s)
-    return d
+    return _combine_subtables_jit(factor_subtables(factors))
 
 
 def delta_table(points):

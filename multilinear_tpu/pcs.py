@@ -63,6 +63,40 @@ def _pcs_round_tail(data, code, inv_pows, r_limbs, half_limbs, k: int):
     return new_data, nxt, pairs, layers
 
 
+def _round_scalars(sums, prev_sum, tr_state):
+    """Traced scalar tail of a PCS round: interpolate the degree-2 round
+    polynomial from its sums at X=1,2, absorb the nonzero coefficients,
+    draw the challenge, and advance the running sum.
+
+    Shared verbatim between the dense and the chunked (oversized) round
+    programs so both trace the identical op sequence.
+    """
+    from . import device_transcript as dtr
+    from .field import limbs as _limbs
+
+    s1, s2 = sums[:, 0], sums[:, 1]
+    s0 = ops.sub(prev_sum.reshape(8, 1), s1.reshape(8, 1))[:, 0]
+    # degree-2 interpolation over {0,1,2}: c2 = (s2 - 2 s1 + s0)/2,
+    # c1 = s1 - s0 - c2, c0 = s0
+    inv2 = ops.broadcast_scalar(jnp.asarray(_limbs.pack_scalar(TWO_INV)), ())
+    a = ops.add(s2.reshape(8, 1), s0.reshape(8, 1))
+    b = ops.add(s1.reshape(8, 1), s1.reshape(8, 1))
+    c2 = ops.mul(ops.sub(a, b), inv2.reshape(8, 1))[:, 0]
+    c1 = ops.sub(
+        ops.sub(s1.reshape(8, 1), s0.reshape(8, 1)), c2.reshape(8, 1)
+    )[:, 0]
+
+    tr = dtr.absorb_field_limbs(tr_state, c1)
+    tr = dtr.absorb_field_limbs(tr, c2)
+    r = dtr.challenge(tr)
+
+    # new_prev = s0 + r*(c1 + r*c2)
+    rr = r.reshape(8, 1)
+    inner = ops.add(c1.reshape(8, 1), ops.mul(rr, c2.reshape(8, 1)))
+    new_prev = ops.add(s0.reshape(8, 1), ops.mul(rr, inner))[:, 0]
+    return tr, r, c1, c2, new_prev
+
+
 @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
 def _device_pcs_round(data, code, inv_pows, tr_state, prev_sum, k: int):
     """One COMPLETE PCS round on device, Fiat-Shamir included.
@@ -87,32 +121,45 @@ def _device_pcs_round(data, code, inv_pows, tr_state, prev_sum, k: int):
     sums = jnp.stack(
         [ops.sum_mod(ops.mul(dx[:, i], mx[:, i]), axis=1) for i in range(2)], axis=1
     )  # (8, 2)
-    s1, s2 = sums[:, 0], sums[:, 1]
-    s0 = ops.sub(prev_sum.reshape(8, 1), s1.reshape(8, 1))[:, 0]
-    # degree-2 interpolation over {0,1,2}: c2 = (s2 - 2 s1 + s0)/2,
-    # c1 = s1 - s0 - c2, c0 = s0
-    inv2 = ops.broadcast_scalar(jnp.asarray(_limbs.pack_scalar(TWO_INV)), ())
-    a = ops.add(s2.reshape(8, 1), s0.reshape(8, 1))
-    b = ops.add(s1.reshape(8, 1), s1.reshape(8, 1))
-    c2 = ops.mul(ops.sub(a, b), inv2.reshape(8, 1))[:, 0]
-    c1 = ops.sub(
-        ops.sub(s1.reshape(8, 1), s0.reshape(8, 1)), c2.reshape(8, 1)
-    )[:, 0]
-
-    tr = dtr.absorb_field_limbs(tr_state, c1)
-    tr = dtr.absorb_field_limbs(tr, c2)
-    r = dtr.challenge(tr)
-
-    # new_prev = s0 + r*(c1 + r*c2)
-    rr = r.reshape(8, 1)
-    inner = ops.add(c1.reshape(8, 1), ops.mul(rr, c2.reshape(8, 1)))
-    new_prev = ops.add(s0.reshape(8, 1), ops.mul(rr, inner))[:, 0]
+    tr, r, c1, c2, new_prev = _round_scalars(sums, prev_sum, tr_state)
 
     half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
     half = code.shape[-1] // 2
     twiddles = inv_pows[:, :: 1 << k][:, :half]
     new_data = _fold_kernel(data, r)
     nxt, pairs, layers = _fold_and_commit(code, twiddles, r, half_limbs)
+    tr = dtr.absorb_words(tr, layers[-1][:, 0])
+    return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5, 6))
+def _device_pcs_round_big(data, code, inv_pows, tr_state, prev_sum, k: int, C: int):
+    """One COMPLETE OVERSIZED PCS round on device, Fiat-Shamir included.
+
+    Same schedule and bit-identical transcript as ``_device_pcs_round``,
+    with every O(n) pass replaced by its bounded-memory chunked kernel
+    (fori_loop partial sums / folds, chunked Merkle levels) so the live
+    temporaries stay one ``C``-sized chunk.  This lets the two leading
+    rounds at 2^24 stream through the async queue with ZERO host syncs -
+    the host-driven chunked path cost ~0.34 s/round in per-round fetches
+    and separate dispatches.  prove_with_retry falls back to the host-
+    driven path (config.stream_oversized=False) under OOM pressure.
+    """
+    from . import device_transcript as dtr
+    from .field import limbs as _limbs
+    from .fri import _fold_codeword_chunked_kernel
+    from .merkle import _commit_layers_chunked
+    from .sumcheck import _chunked_fold_kernel, _chunked_partial_sums_kernel
+
+    aux = jnp.zeros((0, 8), jnp.uint32)
+    sums = _chunked_partial_sums_kernel(data, aux, C, 2, identity_composition)
+    tr, r, c1, c2, new_prev = _round_scalars(sums, prev_sum, tr_state)
+
+    half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
+    new_data = _chunked_fold_kernel(data, r, C)
+    nxt = _fold_codeword_chunked_kernel(code, inv_pows, r, half_limbs, k, C)
+    pairs = nxt.reshape(8, 2, nxt.shape[-1] // 2)
+    layers = _commit_layers_chunked(pairs, 2)
     tr = dtr.absorb_words(tr, layers[-1][:, 0])
     return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
 
@@ -156,13 +203,27 @@ def _device_rounds(
     while True:
         m = fri_data._current.shape[-1]
         half = m // 2
-        if m > get_config().fused_round_max_code:
-            break  # oversized round: the chunked host-driven path handles it
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
-        new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
-            tables.data, fri_data._current, inv_pows, tr_state, prev, start_k + k
-        )
+        cfg = get_config()
+        if m > cfg.fused_round_max_code:
+            C = cfg.kernel_chunk
+            d_off = tables.data.shape[-1] // 2
+            if (
+                not cfg.stream_oversized
+                or d_off < C
+                or d_off % C
+                or half % C
+            ):
+                break  # oversized round: the chunked host-driven path handles it
+            new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round_big(
+                tables.data, fri_data._current, inv_pows, tr_state, prev,
+                start_k + k, C,
+            )
+        else:
+            new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
+                tables.data, fri_data._current, inv_pows, tr_state, prev, start_k + k
+            )
         tables.apply_folded(new_data)
         fri_data._current = nxt
         fri_data.trees.append(MerkleTree(list(layers), pairs))

@@ -56,6 +56,7 @@ def prove_with_retry(prove: Callable[[], T], max_retries: int = 2) -> T:
                 set_config(
                     replace(
                         cfg,
+                        stream_oversized=False,
                         fused_round_max_code=max(
                             cfg.fused_round_max_code // 2, 1 << 18
                         ),

@@ -42,9 +42,25 @@ import numpy as np
 from .field import limbs, ops
 from .dist import device_get_tree, fetch
 from .field.scalar import Fp, TWO_INV, ZERO
-from .mle import delta_table
+from .mle import combine_subtables, delta_subtables
 from .poly import Polynomial, PolynomialEvals
 from .transcript import Transcript
+
+
+@jax.jit
+def _pack_tables_kernel(cols, subs):
+    """Build the packed (columns || delta) table in ONE device program.
+
+    ``cols``: (8, h) one MLE or (8, w, h) trace columns; ``subs``: the
+    delta sub-tables (mle.delta_subtables).  Fusing the tensor-product
+    kron levels and the concatenation removes the per-level eager
+    dispatches that made table construction a 0.6 s phase at 2^24.
+    """
+    if cols.ndim == 2:
+        cols = cols.reshape(8, 1, cols.shape[-1])
+    h = cols.shape[-1]
+    delta = combine_subtables(subs)
+    return jnp.concatenate([cols, delta.reshape(8, 1, h)], axis=1)
 
 
 def _host_delta_table(points: Sequence[Fp]):
@@ -494,10 +510,7 @@ class SumcheckTables:
             return SumcheckTables._host_from_ints(
                 [col], _host_delta_table(inputs), 1, height
             )
-        delta = delta_table(inputs)
-        data = jnp.concatenate(
-            [evals.reshape(8, 1, height), delta.reshape(8, 1, height)], axis=1
-        )
+        data = _pack_tables_kernel(evals, delta_subtables(inputs))
         return SumcheckTables(data, 1, height)
 
     @staticmethod
@@ -516,8 +529,7 @@ class SumcheckTables:
             return SumcheckTables._host_from_ints(
                 cols, _host_delta_table(row_challenges), width, height
             )
-        delta = delta_table(row_challenges)
-        data = jnp.concatenate([trace_columns, delta.reshape(8, 1, height)], axis=1)
+        data = _pack_tables_kernel(trace_columns, delta_subtables(row_challenges))
         return SumcheckTables(data, width, height)
 
     # -- one round ----------------------------------------------------------

@@ -145,14 +145,26 @@ def test_chunked_big_round_path_bit_identical():
     try:
         set_config(ProverConfig(host_threshold=16))  # streaming reference
         ref = PCSProof.prove(inputs, output, dev, Transcript())
-        # force the first rounds through the chunked big-round path
+        # force the first rounds through the STREAMED big-round path
+        # (one chunked device program per round, zero host syncs)
         set_config(
             ProverConfig(
                 host_threshold=16, fused_round_max_code=64, kernel_chunk=16
             )
         )
-        got = PCSProof.prove(inputs, output, dev, Transcript())
+        got_streamed = PCSProof.prove(inputs, output, dev, Transcript())
+        # ... and through the host-driven chunked fallback
+        set_config(
+            ProverConfig(
+                host_threshold=16,
+                fused_round_max_code=64,
+                kernel_chunk=16,
+                stream_oversized=False,
+            )
+        )
+        got_host = PCSProof.prove(inputs, output, dev, Transcript())
     finally:
         set_config(old)
-    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
-    got.verify(Transcript())
+    assert pcs_proof_to_bytes(got_streamed) == pcs_proof_to_bytes(ref)
+    assert pcs_proof_to_bytes(got_host) == pcs_proof_to_bytes(ref)
+    got_streamed.verify(Transcript())
