@@ -302,6 +302,109 @@ def butterfly(u, v, tw_col):
     return _butterfly_flat(u, v, tw_col)
 
 
+# ---------------------------------------------------------------------------
+# fused DOUBLE butterfly stage: two consecutive Pease radix-2 stages in one
+# HBM pass.  Identical op sequence to applying the radix-2 butterfly twice
+# (bit-exact), but the intermediate layer never round-trips through HBM -
+# the per-double-stage traffic halves.  For groups i in [0, M/4):
+#     A = x0+x2, Bta = (x0-x2)*ta,  C = x1+x3, Dtb = (x1-x3)*tb
+#     z[4i]   = A + C          z[4i+1] = (A - C) * tc
+#     z[4i+2] = Bta + Dtb      z[4i+3] = (Bta - Dtb) * td
+# where (x0..x3) are the row quarters and (ta, tb, tc, td) the stage-s /
+# stage-(s+1) twiddles at (i, i+M/4, 2i, 2i+1).
+# ---------------------------------------------------------------------------
+
+
+def _add_mod(ul, vl):
+    from . import ops
+
+    s, carry = ops._add_chain(ul, vl)
+    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
+    p, _ = ops._add_chain(s, k_or_zero)
+    return ops._canon_sub_p(p)
+
+
+def _sub_mod(ul, vl):
+    from . import ops
+
+    d, borrow = ops._sub_chain(ul, vl)
+    k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in ops._K]
+    k_or_zero += [jnp.zeros_like(d[0])] * (NLIMBS - 3)
+    out, _ = ops._sub_chain(d, k_or_zero)
+    return out
+
+
+def _butterfly2_kernel(x_ref, tw_ref, o_ref):
+    shape = x_ref[0, 0].shape  # (R, 128)
+
+    def tw(k):
+        return [
+            jnp.broadcast_to(tw_ref[i, :, k : k + 1], shape) for i in range(NLIMBS)
+        ]
+
+    x0 = [x_ref[i, 0] for i in range(NLIMBS)]
+    x1 = [x_ref[i, 1] for i in range(NLIMBS)]
+    x2 = [x_ref[i, 2] for i in range(NLIMBS)]
+    x3 = [x_ref[i, 3] for i in range(NLIMBS)]
+
+    A = _add_mod(x0, x2)
+    Bta = _mul_limbs(_sub_mod(x0, x2), tw(0))
+    C = _add_mod(x1, x3)
+    Dtb = _mul_limbs(_sub_mod(x1, x3), tw(1))
+
+    z0 = _add_mod(A, C)
+    z1 = _mul_limbs(_sub_mod(A, C), tw(2))
+    z2 = _add_mod(Bta, Dtb)
+    z3 = _mul_limbs(_sub_mod(Bta, Dtb), tw(3))
+
+    for i in range(NLIMBS):
+        o_ref[i, :, 0, :] = z0[i]
+        o_ref[i, :, 1, :] = z1[i]
+        o_ref[i, :, 2, :] = z2[i]
+        o_ref[i, :, 3, :] = z3[i]
+
+
+@jax.jit
+def _butterfly2_flat(xq, tw4):
+    """xq: (8, 4, Q, C) row quarters; tw4: (8, Q, 4).  Returns
+    (8, Q, 4, C): out[:, i, k] = z[4i+k] of the fused double stage."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, C = xq.shape[2], xq.shape[3]
+    grid = (Q // _BF_R, C // 128)
+    in_spec = pl.BlockSpec(
+        (NLIMBS, 4, _BF_R, 128), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 4), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 4, 128), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _butterfly2_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, Q, 4, C), jnp.uint32),
+        grid=grid,
+        in_specs=[in_spec, tw_spec],
+        out_specs=out_spec,
+    )(xq, tw4)
+
+
+def butterfly2_supported(M: int, C: int) -> bool:
+    return M >= 4 and (M // 4) % _BF_R == 0 and C % 128 == 0
+
+
+def butterfly2(x, tw4):
+    """Fused double Pease stage on (8, M, C); tw4: (8, M/4, 4) packed
+    (ta, tb, tc, td) twiddles.  Returns (8, M, C), bit-identical to two
+    consecutive radix-2 stages."""
+    M, C = x.shape[1], x.shape[2]
+    out = _butterfly2_flat(x.reshape(8, 4, M // 4, C), tw4)
+    return out.reshape(8, M, C)
+
+
 def fold_codeword(code, twiddles, r_limbs, half_limbs):
     """One FRI fold (8, m) -> (8, m/2), fully fused in VMEM.
 

@@ -99,6 +99,51 @@ def _pease_axis2(x, pows, log_m: int):
     if len(lead) == 1:  # (8, M, C): the plain-codeword case
         from .field import pallas_ops
 
+        def _stage_exp(s, idx):
+            return ((idx >> s) & ((half - 1) >> s)) << s
+
+        if (
+            pallas_enabled()
+            and log_m >= 2
+            and pallas_ops.butterfly2_supported(M, C)
+            and (log_m % 2 == 0 or pallas_ops.butterfly_supported(half, C))
+        ):
+            # fused DOUBLE stages: two radix-2 stages per HBM pass
+            # (bit-identical op sequence; halves the per-pair sweep traffic)
+            n_pairs = log_m // 2
+            quarter = M // 4
+            i4 = jnp.arange(quarter, dtype=jnp.int32)
+            tw_quads = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.take(pows, _stage_exp(2 * ps, i4), axis=-1),
+                            jnp.take(pows, _stage_exp(2 * ps, i4 + quarter), axis=-1),
+                            jnp.take(pows, _stage_exp(2 * ps + 1, 2 * i4), axis=-1),
+                            jnp.take(
+                                pows, _stage_exp(2 * ps + 1, 2 * i4 + 1), axis=-1
+                            ),
+                        ],
+                        axis=-1,
+                    )
+                    for ps in range(n_pairs)
+                ],
+                axis=0,
+            )  # (n_pairs, 8, quarter, 4)
+
+            def bf2_body(x, tw_q):
+                return pallas_ops.butterfly2(x, tw_q), None
+
+            x, _ = jax.lax.scan(bf2_body, x, tw_quads)
+            if log_m % 2:
+                # leftover final stage (its twiddles are all g^0 = 1)
+                tw_last = jnp.take(pows, _stage_exp(log_m - 1, iota), axis=-1)
+                out = pallas_ops.butterfly(
+                    x[:, :half], x[:, half:], tw_last.reshape(8, half, 1)
+                )
+                x = out.reshape(8, M, C)
+            return x
+
         if pallas_enabled() and pallas_ops.butterfly_supported(half, C):
             # per-stage twiddle columns, (log_m, 8, half) - tiny gathers
             tw_all = jnp.stack(

@@ -174,3 +174,38 @@ def test_pease_pallas_path_matches_jnp(monkeypatch):
     got = ntt_mod._pease_axis2(x, pows, log_m)
     monkeypatch.setattr(cfgmod.get_config(), "use_pallas", None)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pease_pallas_double_stage_matches_jnp(monkeypatch):
+    """Interpret-mode fused DOUBLE-stage path == the jnp scan path.
+
+    log_m = 5 (odd: exercises the leftover final radix-2 stage) and 6
+    (even: pure double-stage scan); M >= 32 so butterfly2 is supported.
+    """
+    from jax.experimental import pallas as pl
+
+    import multilinear_tpu.config as cfgmod
+    from multilinear_tpu import ntt as ntt_mod
+    from multilinear_tpu.field import pallas_ops as po
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    rng = np.random.default_rng(17)
+    for log_m in (5, 6):
+        M, C = 1 << log_m, 128
+        assert po.butterfly2_supported(M, C)
+        x = _pack(_rand_vals(rng, M * C)).reshape(8, M, C)
+        pows = ntt_mod.gen_pows(log_m + 1)
+
+        want = ntt_mod._pease_axis2(x, pows, log_m)  # jnp path (pallas off)
+
+        monkeypatch.setattr(cfgmod.get_config(), "use_pallas", True)
+        got = ntt_mod._pease_axis2(x, pows, log_m)
+        monkeypatch.setattr(cfgmod.get_config(), "use_pallas", None)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), log_m
