@@ -392,6 +392,104 @@ def _butterfly2_flat(xq, tw4):
     )(xq, tw4)
 
 
+def _butterfly_notw_kernel(u_ref, v_ref, o_ref):
+    ul = [u_ref[i] for i in range(NLIMBS)]
+    vl = [v_ref[i] for i in range(NLIMBS)]
+    p = _add_mod(ul, vl)
+    q = _sub_mod(ul, vl)
+    for i in range(NLIMBS):
+        o_ref[i, :, 0, :] = p[i]
+        o_ref[i, :, 1, :] = q[i]
+
+
+@jax.jit
+def _butterfly_notw_flat(u, v):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, C = u.shape[1], u.shape[2]
+    grid = (H // _BF_R, C // 128)
+    io_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 2, 128), lambda i, j: (0, i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _butterfly_notw_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, H, 2, C), jnp.uint32),
+        grid=grid,
+        in_specs=[io_spec, io_spec],
+        out_specs=out_spec,
+    )(u, v)
+
+
+def butterfly_notw(u, v):
+    """Twiddle-free butterfly (p = u+v, q = u-v) for stages whose twiddles
+    are all g^0 = 1 (the final Pease stage): mul-by-1 returns its canonical
+    operand unchanged, so dropping the multiply is bit-identical and saves
+    a full in-VMEM field multiply per element."""
+    return _butterfly_notw_flat(u, v)
+
+
+# ---------------------------------------------------------------------------
+# fused four-step twiddle multiply: G[a, b] = F[a, b] * Tc[a>>split, b]
+# * Tf[a & (S-1), b] in ONE pass (the jnp path runs two full-size muls).
+# Row blocks of 8 share their Tc row when S >= 8 and iterate d = a & (S-1)
+# within a block, so both factors stream as small broadcast blocks.
+# ---------------------------------------------------------------------------
+
+
+def _twiddle_mul3_kernel(f_ref, tc_ref, tf_ref, o_ref):
+    fl = [f_ref[i] for i in range(NLIMBS)]
+    shape = fl[0].shape
+    tcl = [jnp.broadcast_to(tc_ref[i], shape) for i in range(NLIMBS)]
+    tfl = [tf_ref[i] for i in range(NLIMBS)]
+    out = _mul_limbs(_mul_limbs(fl, tcl), tfl)
+    for i in range(NLIMBS):
+        o_ref[i] = out[i]
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _twiddle_mul3_flat(F, Tc, Tf, S: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    A, B = F.shape[1], F.shape[2]
+    d_blocks = S // _BF_R
+    grid = (A // _BF_R, B // 128)
+    f_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    tc_spec = pl.BlockSpec(
+        (NLIMBS, 1, 128), lambda i, j: (0, i // d_blocks, j), memory_space=pltpu.VMEM
+    )
+    tf_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 128), lambda i, j: (0, i % d_blocks, j),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _twiddle_mul3_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, A, B), jnp.uint32),
+        grid=grid,
+        in_specs=[f_spec, tc_spec, tf_spec],
+        out_specs=f_spec,
+    )(F, Tc, Tf)
+
+
+def twiddle3_supported(A: int, S: int, B: int) -> bool:
+    return A % _BF_R == 0 and S % _BF_R == 0 and B % 128 == 0
+
+
+def twiddle_mul3(F, Tc, Tf, S: int):
+    """G[a, b] = F[a, b] * Tc[a >> log2(S), b] * Tf[a & (S-1), b], one pass.
+
+    Bit-identical to mul(mul(F, broadcast(Tc)), broadcast(Tf)) - the jnp
+    four-step twiddle multiply - because each elementwise multiply is the
+    same canonical field op on the same operands."""
+    return _twiddle_mul3_flat(F, Tc, Tf, S)
+
+
 def butterfly2_supported(M: int, C: int) -> bool:
     return M >= 4 and (M // 4) % _BF_R == 0 and C % 128 == 0
 

@@ -136,11 +136,9 @@ def _pease_axis2(x, pows, log_m: int):
 
             x, _ = jax.lax.scan(bf2_body, x, tw_quads)
             if log_m % 2:
-                # leftover final stage (its twiddles are all g^0 = 1)
-                tw_last = jnp.take(pows, _stage_exp(log_m - 1, iota), axis=-1)
-                out = pallas_ops.butterfly(
-                    x[:, :half], x[:, half:], tw_last.reshape(8, half, 1)
-                )
+                # leftover final stage: its twiddles are all g^0 = 1, so
+                # the twiddle-free kernel (no multiply) is bit-identical
+                out = pallas_ops.butterfly_notw(x[:, :half], x[:, half:])
                 x = out.reshape(8, M, C)
             return x
 
@@ -265,15 +263,22 @@ def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
     # twiddle multiply: T[a, b] = Tc[a >> split, b] * Tf[a & (S-1), b];
     # the broadcasts fuse into the muls inside this jit - no dense T
     S = Tf.shape[-2]
-    Fr = F.reshape((8,) + lead + (A // S, S, B))
-    lead1 = (1,) * len(lead)
-    Tc_b = jnp.broadcast_to(
-        Tc.reshape((8,) + lead1 + (A // S, 1, B)), Fr.shape
-    )
-    Tf_b = jnp.broadcast_to(
-        Tf.reshape((8,) + lead1 + (1, S, B)), Fr.shape
-    )
-    G = ops.mul(ops.mul(Fr, Tc_b), Tf_b).reshape(F.shape)
+    from .config import pallas_enabled as _pe
+    from .field import pallas_ops as _po
+
+    if not lead and _pe() and _po.twiddle3_supported(A, S, B):
+        # one fused pass: both muls in VMEM, factors stream as small blocks
+        G = _po.twiddle_mul3(F, Tc, Tf, S)
+    else:
+        Fr = F.reshape((8,) + lead + (A // S, S, B))
+        lead1 = (1,) * len(lead)
+        Tc_b = jnp.broadcast_to(
+            Tc.reshape((8,) + lead1 + (A // S, 1, B)), Fr.shape
+        )
+        Tf_b = jnp.broadcast_to(
+            Tf.reshape((8,) + lead1 + (1, S, B)), Fr.shape
+        )
+        G = ops.mul(ops.mul(Fr, Tc_b), Tf_b).reshape(F.shape)
 
     Gt = jnp.swapaxes(G, G.ndim - 2, G.ndim - 1)  # lead + (B, A)
 

@@ -209,3 +209,73 @@ def test_pease_pallas_double_stage_matches_jnp(monkeypatch):
         got = ntt_mod._pease_axis2(x, pows, log_m)
         monkeypatch.setattr(cfgmod.get_config(), "use_pallas", None)
         assert np.array_equal(np.asarray(got), np.asarray(want)), log_m
+
+
+def test_butterfly_notw_parity(monkeypatch):
+    """Interpret-mode parity: butterfly_notw == butterfly with all-ones
+    twiddles (the final Pease stage case), real field math."""
+    from jax.experimental import pallas as pl
+
+    from multilinear_tpu.field import pallas_ops as po
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    rng = np.random.default_rng(19)
+    H, C = 8, 128
+    u = _pack(_rand_vals(rng, H * C)).reshape(8, H, C)
+    v = _pack(_rand_vals(rng, H * C)).reshape(8, H, C)
+    ones = _pack([1] * H).reshape(8, H, 1)
+    want = np.asarray(po.butterfly(u, v, ones))
+    got = np.asarray(po.butterfly_notw(u, v))
+    assert np.array_equal(got, want)
+
+
+def test_twiddle_mul3_plumbing(monkeypatch):
+    """Interpret-mode check of twiddle_mul3's BlockSpec plumbing (which
+    Tc row / Tf row reaches which F block) with `_mul_limbs` stubbed to a
+    cheap elementwise op.
+
+    Interpret-mode execution of two CHAINED in-kernel `_mul_limbs` calls
+    is pathologically slow on CPU (>10 min for a (8,16,128) input, vs
+    3.7 s for one), so real-field-math parity of the composition runs on
+    hardware via tools/tpu_checks.py (the 2^20/2^21 NTT checks route
+    through twiddle_mul3); `_mul_limbs` itself is pinned against ops.mul
+    by the kernels above.
+    """
+    from jax.experimental import pallas as pl
+
+    from multilinear_tpu.field import pallas_ops as po
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    def stub_mul(al, bl):
+        # limb-wise a*3 + b: non-commutative in (block, factor) pairing,
+        # so any index-map mistake changes the output
+        return [a * jnp.uint32(3) + b for a, b in zip(al, bl)]
+
+    monkeypatch.setattr(po, "_mul_limbs", stub_mul)
+
+    rng = np.random.default_rng(23)
+    A, S, B = 32, 8, 128
+    assert po.twiddle3_supported(A, S, B)
+    F = _pack(_rand_vals(rng, A * B)).reshape(8, A, B)
+    Tc = _pack(_rand_vals(rng, (A // S) * B)).reshape(8, A // S, B)
+    Tf = _pack(_rand_vals(rng, S * B)).reshape(8, S, B)
+    Fr = np.asarray(F).reshape(8, A // S, S, B)
+    Tc_b = np.broadcast_to(np.asarray(Tc).reshape(8, A // S, 1, B), Fr.shape)
+    Tf_b = np.broadcast_to(np.asarray(Tf).reshape(8, 1, S, B), Fr.shape)
+    want = ((Fr * 3 + Tc_b) * 3 + Tf_b).astype(np.uint32).reshape(8, A, B)
+    got3 = np.asarray(po.twiddle_mul3(F, Tc, Tf, S))
+    assert np.array_equal(got3, want)

@@ -116,6 +116,17 @@ def main() -> int:
     failures += not okay
     print(f"ntt 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
 
+    # odd-log size: the Pease sub-transforms have log_m = 11, exercising
+    # the twiddle-free final-stage kernel (butterfly_notw) on hardware
+    x = rand_limbs(1 << 21)
+    _set_pallas(False)
+    want, _ = _timed(ntt, x)
+    _set_pallas(True)
+    got, dt = _timed(ntt, x)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"ntt 2^21: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
     # --- shard_map round with Pallas body (multi-chip fast path) ---------
     from multilinear_tpu.parallel import hypercube_sharding, make_mesh
     from multilinear_tpu.parallel.shard_step import make_sharded_round
