@@ -15,6 +15,26 @@ import time
 from typing import Iterator, Optional
 
 
+def enable_persistent_cache() -> None:
+    """Point JAX at the repo's persistent compilation cache (.jax_cache).
+
+    Remote XLA compiles over the axon tunnel cost 40-120 s EACH; the
+    persistent cache is keyed on debug-stripped HLO and works across
+    processes.  Every tool/bench entry point must call this before its
+    first jit or it silently recompiles the world (a tpu_checks run
+    without it spent 30+ min blocked on the compile pool).
+    """
+    import os
+
+    import jax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 @contextlib.contextmanager
 def benchmark(label: str) -> Iterator[None]:
     """Print wall-clock for the enclosed block (device-synchronized)."""

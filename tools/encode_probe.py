@@ -19,6 +19,10 @@ import numpy as np  # noqa: E402
 
 def main() -> int:
     import jax
+
+    from multilinear_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from multilinear_tpu import mle

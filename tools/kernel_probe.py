@@ -28,6 +28,10 @@ HBM_GBPS = 819.0
 
 def main() -> int:
     import jax
+
+    from multilinear_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

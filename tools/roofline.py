@@ -30,6 +30,10 @@ HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
 def main() -> int:
     import jax
+
+    from multilinear_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from multilinear_tpu import config as cfg

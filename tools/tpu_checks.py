@@ -50,6 +50,10 @@ def _timed(fn, *args, reps: int = 3):
 
 def main() -> int:
     import jax
+
+    from multilinear_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from multilinear_tpu import config as cfg
