@@ -35,6 +35,13 @@ class ProverConfig:
     # turns this off on RESOURCE_EXHAUSTED pressure.  Bit-identical
     # either way (pinned by tests).
     stream_oversized: bool = True
+    # Fuse TWO consecutive streamed PCS rounds into one device program
+    # when both fit under fused_round_max_code: halves the dispatch count
+    # AND the number of distinct compiled programs (per-process cached-
+    # executable loads cost ~0.4 s each over the tunnel).  Slightly larger
+    # per-program footprint; prove_with_retry turns this off under OOM
+    # pressure.  Bit-identical either way (pinned by tests).
+    stream_round_pairs: bool = True
     # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
     # SHA-256 layers).  None = auto: on when running on a single real TPU
     # device; off on CPU and under multi-device GSPMD sharding (Pallas

@@ -199,6 +199,28 @@ def _device_fri_round(code, inv_pows, tr_state, k: int):
     return nxt, pairs, layers, tr2
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _device_fri_round2(code, inv_pows, tr_state, k: int):
+    """TWO consecutive streamed FRI rounds in one device program (same op
+    sequence as two ``_device_fri_round`` dispatches - bit-identical; see
+    pcs._device_pcs_round2 for the rationale)."""
+    from . import device_transcript as dtr
+    from .field.scalar import TWO_INV as _TI
+
+    half_limbs = jnp.asarray(limbs.pack_scalar(_TI))
+    r = dtr.challenge(tr_state)
+    half = code.shape[-1] // 2
+    tw = inv_pows[:, :: 1 << k][:, :half]
+    nxt, pairs_a, layers_a = _fold_and_commit(code, tw, r, half_limbs)
+    tr = dtr.absorb_words(tr_state, layers_a[-1][:, 0])
+
+    r2 = dtr.challenge(tr)
+    tw2 = inv_pows[:, :: 1 << (k + 1)][:, : half // 2]
+    nxt2, pairs_b, layers_b = _fold_and_commit(nxt, tw2, r2, half_limbs)
+    tr = dtr.absorb_words(tr, layers_b[-1][:, 0])
+    return nxt2, (pairs_a, layers_a), (pairs_b, layers_b), tr
+
+
 def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
     """Stream as many plain-FRI rounds as possible entirely on device.
 
@@ -224,6 +246,21 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
         k = data._log_domain - (m.bit_length() - 1)
+        quarter = half // 2
+        if (
+            get_config().stream_round_pairs
+            and half <= get_config().fused_round_max_code
+            and quarter > blowup
+            and quarter > HOST_THRESHOLD()
+        ):
+            nxt, (pairs_a, layers_a), (pairs_b, layers_b), tr_state = (
+                _device_fri_round2(data._current, inv_pows, tr_state, k)
+            )
+            data._current = nxt
+            data.trees.append(MerkleTree(list(layers_a), pairs_a))
+            data.trees.append(MerkleTree(list(layers_b), pairs_b))
+            done += 2
+            continue
         nxt, pairs, layers, tr_state = _device_fri_round(
             data._current, inv_pows, tr_state, k
         )

@@ -97,9 +97,8 @@ def _round_scalars(sums, prev_sum, tr_state):
     return tr, r, c1, c2, new_prev
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
-def _device_pcs_round(data, code, inv_pows, tr_state, prev_sum, k: int):
-    """One COMPLETE PCS round on device, Fiat-Shamir included.
+def _pcs_round_body(data, code, inv_pows, tr_state, prev_sum, k: int):
+    """One COMPLETE PCS round as a traceable body, Fiat-Shamir included.
 
     Computes the round polynomial, absorbs its nonzero coefficients into
     the on-device transcript, derives the challenge, folds the sumcheck
@@ -130,6 +129,30 @@ def _device_pcs_round(data, code, inv_pows, tr_state, prev_sum, k: int):
     nxt, pairs, layers = _fold_and_commit(code, twiddles, r, half_limbs)
     tr = dtr.absorb_words(tr, layers[-1][:, 0])
     return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
+
+
+_device_pcs_round = partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))(
+    _pcs_round_body
+)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
+def _device_pcs_round2(data, code, inv_pows, tr_state, prev_sum, k: int):
+    """TWO consecutive streamed PCS rounds in ONE device program.
+
+    Exactly the op sequence of dispatching ``_device_pcs_round`` for k and
+    then k+1 (bit-identical transcript - the body is shared verbatim), but
+    one dispatch and ONE compiled program per code-size pair: halves both
+    the per-round dispatch overhead and the number of distinct round
+    executables a fresh process must load over the tunnel.
+    """
+    d1, c1, pairs_a, layers_a, tr, meta_a = _pcs_round_body(
+        data, code, inv_pows, tr_state, prev_sum, k
+    )
+    d2, c2, pairs_b, layers_b, tr, meta_b = _pcs_round_body(
+        d1, c1, inv_pows, tr, meta_a[3], k + 1
+    )
+    return d2, c2, (pairs_a, layers_a), (pairs_b, layers_b), tr, (meta_a, meta_b)
 
 
 @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5, 6))
@@ -221,6 +244,37 @@ def _device_rounds(
                 start_k + k, C,
             )
         else:
+            # fuse with the NEXT round when it would also stream (same
+            # conditions at half the code size) - one dispatch, one program
+            quarter = half // 2
+            if (
+                cfg.stream_round_pairs
+                and quarter > blowup
+                and quarter > HOST_THRESHOLD()
+            ):
+                (
+                    new_data,
+                    nxt,
+                    (pairs_a, layers_a),
+                    (pairs_b, layers_b),
+                    tr_state,
+                    (meta_a, meta_b),
+                ) = _device_pcs_round2(
+                    tables.data,
+                    fri_data._current,
+                    inv_pows,
+                    tr_state,
+                    prev,
+                    start_k + k,
+                )
+                tables.apply_folded(new_data, levels=2)
+                fri_data._current = nxt
+                fri_data.trees.append(MerkleTree(list(layers_a), pairs_a))
+                fri_data.trees.append(MerkleTree(list(layers_b), pairs_b))
+                prev = meta_b[3]
+                outs.extend([meta_a, meta_b])
+                k += 2
+                continue
             new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
                 tables.data, fri_data._current, inv_pows, tr_state, prev, start_k + k
             )

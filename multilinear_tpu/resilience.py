@@ -57,6 +57,7 @@ def prove_with_retry(prove: Callable[[], T], max_retries: int = 2) -> T:
                     replace(
                         cfg,
                         stream_oversized=False,
+                        stream_round_pairs=False,
                         fused_round_max_code=max(
                             cfg.fused_round_max_code // 2, 1 << 18
                         ),

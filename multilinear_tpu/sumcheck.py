@@ -612,11 +612,12 @@ class SumcheckTables:
             out.append(s)
         return out
 
-    def apply_folded(self, new_data) -> None:
+    def apply_folded(self, new_data, levels: int = 1) -> None:
         """Install an externally-folded table (from a fused round-tail
-        dispatch) and account for the halved height."""
+        dispatch) and account for ``levels`` halvings of the height (2 for
+        the two-rounds-per-dispatch program)."""
         self.data = new_data
-        self.height >>= 1
+        self.height >>= levels
         self._maybe_to_host()
 
     def fold(self, r: Fp) -> None:

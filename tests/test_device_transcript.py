@@ -126,6 +126,32 @@ def test_device_rounds_after_prior_absorbs():
     assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
 
 
+def test_round_pair_fusion_bit_identical():
+    """Two-rounds-per-dispatch streaming (stream_round_pairs) produces
+    byte-identical proofs to single-round dispatches."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.serialize import pcs_proof_to_bytes
+
+    n_vars = 8
+    evals = [Fp(i * 11 + 2) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i + 5) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=16, stream_round_pairs=False))
+        ref = PCSProof.prove(inputs, output, dev, Transcript())
+        set_config(ProverConfig(host_threshold=16, stream_round_pairs=True))
+        got = PCSProof.prove(inputs, output, dev, Transcript())
+    finally:
+        set_config(old)
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
+    got.verify(Transcript())
+
+
 def test_chunked_big_round_path_bit_identical():
     """Oversized-round path (chunked partial sums / folds / commits, host-
     driven Fiat-Shamir) produces byte-identical proofs to the fused

@@ -184,6 +184,27 @@ def test_fri_streaming_device_rounds_bit_identical():
     got.verify()
 
 
+def test_fri_round_pair_fusion_bit_identical():
+    """Two-rounds-per-dispatch FRI streaming == single-round dispatches."""
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.serialize import fri_proof_to_bytes
+
+    log_n = 8
+    values = [Fp(i * 17 + 9) for i in range(1 << log_n)]
+    code = reed_solomon(_device_poly(values))
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=8, stream_round_pairs=False))
+        ref = FriProof.prove(code, Transcript())
+        set_config(ProverConfig(host_threshold=8, stream_round_pairs=True))
+        got = FriProof.prove(code, Transcript())
+    finally:
+        set_config(old)
+    assert fri_proof_to_bytes(got) == fri_proof_to_bytes(ref)
+    got.verify()
+
+
 def test_pcs_rejects_overlong_round_polynomial():
     """Round polynomials are degree 2; a hostile proof carrying extra
     coefficients must be rejected before transcript replay (advisor
