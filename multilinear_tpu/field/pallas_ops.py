@@ -490,6 +490,82 @@ def twiddle_mul3(F, Tc, Tf, S: int):
     return _twiddle_mul3_flat(F, Tc, Tf, S)
 
 
+# ---------------------------------------------------------------------------
+# multi-stage zeta/Moebius butterfly: ALL butterflies for a GROUP of axis -2
+# index bits in one HBM pass.  The jnp path (mle._bit_passes) runs one full
+# read+write sweep per bit (log n sweeps at 2^n); here 2^c rows sit in VMEM
+# and c bit-stages run in-register, so a 2^24 transform needs ceil(24/c)
+# sweeps.  Bits >= c are handled OUTSIDE by viewing (M, K) as
+# (M >> d, K << d) - merging 2^d consecutive rows into longer rows makes
+# bit d the lowest axis -2 bit, with no data movement (row-major view).
+# Pure add/sub: bit-identical to ops.add/ops.sub stage by stage.
+# ---------------------------------------------------------------------------
+
+_ZM_BITS = 8  # index bits butterflied per pass (2^8 rows x 128 lanes in VMEM)
+
+
+def _zm_group_kernel(add: bool, c: int):
+    def kernel(x_ref, o_ref):
+        rows = 1 << c
+        v = [x_ref[i] for i in range(NLIMBS)]  # (rows, 128) per limb
+        for s in range(c):
+            q = rows >> (s + 1)
+            w = [vv.reshape(q, 2, 1 << s, 128) for vv in v]
+            lo = [ww[:, 0] for ww in w]
+            hi = [ww[:, 1] for ww in w]
+            hi2 = _add_mod(hi, lo) if add else _sub_mod(hi, lo)
+            v = [
+                jnp.concatenate([l[:, None], h[:, None]], axis=1).reshape(rows, 128)
+                for l, h in zip(lo, hi2)
+            ]
+        for i in range(NLIMBS):
+            o_ref[i] = v[i]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("c", "add"))
+def _zm_group_flat(x, c: int, add: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape[1], x.shape[2]
+    rows = 1 << c
+    grid = (M // rows, K // 128)
+    spec = pl.BlockSpec(
+        (NLIMBS, rows, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _zm_group_kernel(add, c),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, M, K), jnp.uint32),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+    )(x)
+
+
+def zm_supported(M: int, K: int) -> bool:
+    return M >= 2 and K % 128 == 0
+
+
+def zm_butterfly_axis2(x, log_m: int, add: bool):
+    """hi' = hi op lo for EVERY bit of the axis -2 index of (8, M, K).
+
+    Same per-stage op sequence as mle._bit_passes' per-bit loop (exact
+    mod-p arithmetic is order-independent and each stage's canonical
+    output is identical), in ceil(log_m / _ZM_BITS) HBM passes.
+    """
+    M, K = x.shape[1], x.shape[2]
+    done = 0
+    while done < log_m:
+        c = min(_ZM_BITS, log_m - done)
+        v = x.reshape(8, M >> done, K << done)
+        v = _zm_group_flat(v, c, add)
+        x = v.reshape(8, M, K)
+        done += c
+    return x
+
+
 def butterfly2_supported(M: int, C: int) -> bool:
     return M >= 4 and (M // 4) % _BF_R == 0 and C % 128 == 0
 

@@ -51,6 +51,14 @@ def _bit_passes(x, op):
         # v: lead + (M, K); butterfly every bit of the M axis
         M = 1 << log_m
         K = v.shape[-1]
+        if log_m and len(lead) == 1:
+            from .config import pallas_enabled
+            from .field import pallas_ops
+
+            if pallas_enabled() and pallas_ops.zm_supported(M, K):
+                # multi-stage kernel: ~8 bit-stages per HBM pass instead
+                # of one (bit-identical - same exact mod-p stage ops)
+                return pallas_ops.zm_butterfly_axis2(v, log_m, op is ops.add)
         for i in range(log_m):
             w = v.reshape(lead + (M >> (i + 1), 2, 1 << i, K))
             lo = w[..., 0, :, :]

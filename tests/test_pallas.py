@@ -236,6 +236,40 @@ def test_butterfly_notw_parity(monkeypatch):
     assert np.array_equal(got, want)
 
 
+def test_zm_butterfly_multistage_parity(monkeypatch):
+    """Interpret-mode parity: the multi-stage zeta/Moebius kernel equals
+    the per-bit jnp loop (real field add/sub), across pass splits."""
+    from jax.experimental import pallas as pl
+
+    from multilinear_tpu.field import pallas_ops as po
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    # force multi-pass coverage at a small size (log_m=5 -> 3 passes)
+    monkeypatch.setattr(po, "_ZM_BITS", 2)
+
+    rng = np.random.default_rng(29)
+    M, K = 32, 128
+    x = _pack(_rand_vals(rng, M * K)).reshape(8, M, K)
+
+    for opname, op in (("add", ops.add), ("sub", ops.sub)):
+        v = jnp.asarray(x)
+        log_m = 5
+        for i in range(log_m):
+            w = v.reshape(8, M >> (i + 1), 2, 1 << i, K)
+            lo = w[:, :, 0]
+            hi = op(w[:, :, 1], lo)
+            v = jnp.stack([lo, hi], axis=2).reshape(8, M, K)
+        want = np.asarray(v)
+        got = np.asarray(po.zm_butterfly_axis2(jnp.asarray(x), log_m, op is ops.add))
+        assert np.array_equal(got, want), opname
+
+
 def test_twiddle_mul3_plumbing(monkeypatch):
     """Interpret-mode check of twiddle_mul3's BlockSpec plumbing (which
     Tc row / Tf row reaches which F block) with `_mul_limbs` stubbed to a
