@@ -491,6 +491,60 @@ def twiddle_mul3(F, Tc, Tf, S: int):
 
 
 # ---------------------------------------------------------------------------
+# tensor-product (kron) multiply: out[a, b] = t[a] * s[b].  The jnp path
+# (mle._kron_mul) broadcasts BOTH operands to the full (8, m, n) output
+# before the multiply - at the 2^24 delta table that materializes ~1 GB of
+# broadcast operands in HBM.  Here each factor streams as a tiny block
+# ((R, 1) rows / (1, 128) cols) and broadcasts in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _kron_kernel(t_ref, s_ref, o_ref):
+    shape = o_ref[0].shape  # (R, 128)
+    tl = [jnp.broadcast_to(t_ref[i], shape) for i in range(NLIMBS)]
+    sl = [jnp.broadcast_to(s_ref[i], shape) for i in range(NLIMBS)]
+    out = _mul_limbs(tl, sl)
+    for i in range(NLIMBS):
+        o_ref[i] = out[i]
+
+
+@jax.jit
+def _kron_flat(t, s):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, n = t.shape[1], s.shape[1]
+    grid = (m // _BF_R, n // 128)
+    t_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (NLIMBS, 1, 128), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (NLIMBS, _BF_R, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _kron_kernel,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, m, n), jnp.uint32),
+        grid=grid,
+        in_specs=[t_spec, s_spec],
+        out_specs=o_spec,
+    )(t.reshape(NLIMBS, m, 1), s.reshape(NLIMBS, 1, n))
+
+
+def kron_supported(m: int, n: int) -> bool:
+    return m % _BF_R == 0 and n % 128 == 0
+
+
+def kron_mul(a, b):
+    """(8, m), (8, n) -> (8, m*n) with out[i*n+j] = a[i]*b[j]; same
+    canonical field multiply as ops.mul on the broadcast operands."""
+    m, n = a.shape[1], b.shape[1]
+    return _kron_flat(a, b).reshape(NLIMBS, m * n)
+
+
+# ---------------------------------------------------------------------------
 # multi-stage zeta/Moebius butterfly: ALL butterflies for a GROUP of axis -2
 # index bits in one HBM pass.  The jnp path (mle._bit_passes) runs one full
 # read+write sweep per bit (log n sweeps at 2^n); here 2^c rows sit in VMEM

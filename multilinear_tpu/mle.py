@@ -120,6 +120,12 @@ _CHUNK_VARS = 8
 def _kron_mul(a, b):
     """Tensor-product combine: (8, m), (8, n) -> (8, m*n), out[i*n+j] = a[i]*b[j]."""
     m, n = a.shape[1], b.shape[1]
+    from .config import pallas_enabled
+    from .field import pallas_ops
+
+    if pallas_enabled() and pallas_ops.kron_supported(m, n):
+        # factors stream as tiny blocks; no HBM broadcast materialization
+        return pallas_ops.kron_mul(a, b)
     aa = jnp.broadcast_to(a[:, :, None], (8, m, n))
     bb = jnp.broadcast_to(b[:, None, :], (8, m, n))
     return ops.mul(aa, bb).reshape(8, m * n)

@@ -236,6 +236,33 @@ def test_butterfly_notw_parity(monkeypatch):
     assert np.array_equal(got, want)
 
 
+def test_kron_mul_parity(monkeypatch):
+    """Interpret-mode parity: the Pallas kron kernel equals the broadcast
+    ops.mul tensor product (real field multiply)."""
+    from jax.experimental import pallas as pl
+
+    from multilinear_tpu.field import pallas_ops as po
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    rng = np.random.default_rng(31)
+    m, n = 16, 256
+    assert po.kron_supported(m, n)
+    a = _pack(_rand_vals(rng, m))
+    b = _pack(_rand_vals(rng, n))
+    aa = jnp.broadcast_to(a[:, :, None], (8, m, n))
+    bb = jnp.broadcast_to(b[:, None, :], (8, m, n))
+    want = np.asarray(ops.mul(aa, bb).reshape(8, m * n))
+    got = np.asarray(po.kron_mul(a, b))
+    assert np.array_equal(got, want)
+
+
 def test_zm_butterfly_multistage_parity(monkeypatch):
     """Interpret-mode parity: the multi-stage zeta/Moebius kernel equals
     the per-bit jnp loop (real field add/sub), across pass splits."""

@@ -131,6 +131,31 @@ def main() -> int:
     failures += not okay
     print(f"ntt 2^21: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
 
+    # --- zeta/Moebius multi-stage butterfly (to_coeffs path) -------------
+    from multilinear_tpu.mle import to_coeffs
+
+    x = rand_limbs(1 << 20)
+    _set_pallas(False)
+    want, _ = _timed(to_coeffs, x)
+    _set_pallas(True)
+    got, dt = _timed(to_coeffs, x)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"to_coeffs 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
+    # --- kron tensor-product multiply (delta-table build) ----------------
+    from multilinear_tpu.mle import _kron_mul
+
+    t8, s8 = rand_limbs(1 << 14), rand_limbs(256)
+    kron_jit = jax.jit(_kron_mul)
+    _set_pallas(False)
+    want, _ = _timed(kron_jit, t8, s8)
+    _set_pallas(True)
+    got, dt = _timed(kron_jit, t8, s8)
+    okay = np.array_equal(np.asarray(want), np.asarray(got))
+    failures += not okay
+    print(f"kron 2^14x256: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
     # --- shard_map round with Pallas body (multi-chip fast path) ---------
     from multilinear_tpu.parallel import hypercube_sharding, make_mesh
     from multilinear_tpu.parallel.shard_step import make_sharded_round
