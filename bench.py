@@ -65,7 +65,8 @@ def _baseline(metric: str, log_n: int) -> float:
     return _BASELINE_MEASURED_S[(metric, a)] * (2 ** (log_n - a))
 
 
-def bench_pcs(log_n: int, with_proof_bytes: bool = False):
+def bench_pcs(log_n: int, with_proof_bytes: bool = False, cpu_backend: bool = False):
+    import jax
     import jax.numpy as jnp
 
     from multilinear_tpu.field import limbs
@@ -78,7 +79,15 @@ def bench_pcs(log_n: int, with_proof_bytes: bool = False):
 
     h = 1 << log_n
     vals = (np.arange(h, dtype=np.uint64) * 7 + 3).tolist()
-    evals = jnp.asarray(limbs.pack_ints(vals))
+    if cpu_backend:
+        # committed to the host CPU device: every jit (encode etc.) compiles
+        # and runs locally, the protocol tail runs in the native C++ runtime
+        # - zero dependence on the TPU tunnel
+        evals = jax.device_put(
+            np.asarray(limbs.pack_ints(vals)), jax.local_devices(backend="cpu")[0]
+        )
+    else:
+        evals = jnp.asarray(limbs.pack_ints(vals))
     evals.block_until_ready()
     inputs = [Fp(i) for i in range(log_n)]
     output = evaluate_evals_host(evals, inputs)
@@ -266,72 +275,130 @@ def _driver_mode(deadline_s: float):
     """No-args mode for the round driver: guarantee ONE JSON line.
 
     Environment reality (measured, see CLAUDE.md): a fresh process pays a
-    ~4-6 min one-time barrier on its FIRST compile/load request to the
-    remote XLA server, then ~seconds per cached-program load.  A fixed
-    big workload can blow any unknown driver timeout, so this mode
-    escalates through PCS sizes, stages the best completed result, and a
-    SIGALRM deadline (MLT_BENCH_DEADLINE_S, default 480 s) prints the
-    staged line and exits 0 no matter what is still in flight.
+    ~30 s-5 min barrier on its FIRST request to the remote XLA server,
+    compiles cost 40-120 s each, and a wedged tunnel HANGS inside C calls
+    - where a Python SIGALRM handler can never run (the round-1 bench
+    died exactly that way, rc=124 with no output).  So the parent process
+    here never imports jax at all: it orchestrates subprocess stages under
+    hard kill-timeouts and ALWAYS prints a line.
+
+    * stage host16: CPU-backend + native-C++ prove at 2^16 - immune to
+      the tunnel, stages a number within ~a minute even fully cold;
+    * stage escalate: TPU PCS proves at 2^16/20/22/24, printing a JSON
+      line after EACH completed size; the parent keeps the last line and
+      kills the child at the deadline (MLT_BENCH_DEADLINE_S, default 480).
     """
-    import signal
+    import subprocess
+    import sys
+    import threading
 
-    staged = {}
     t_start = time.time()
+    staged = []
+    me = os.path.abspath(__file__)
 
-    def emit(rc: int = 0):
-        if staged:
-            print(json.dumps(staged), flush=True)
-            os._exit(rc)
-        print(
-            json.dumps(
-                {
-                    "metric": "pcs_prove_wall_clock",
-                    "value": None,
-                    "unit": "s",
-                    "vs_baseline": None,
-                    "error": "deadline hit before any size completed",
-                }
-            ),
-            flush=True,
+    def run_stage(stage: str, budget: float):
+        if budget <= 5:
+            return
+        env = dict(os.environ)
+        env["MLT_STAGE_BUDGET_S"] = str(int(budget))
+        p = subprocess.Popen(
+            [sys.executable, "-u", me, "--stage", stage],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=env,
         )
-        os._exit(1)
 
-    signal.signal(signal.SIGALRM, lambda *_: emit(0))
-    signal.alarm(max(int(deadline_s), 30))
+        def reader():
+            for ln in p.stdout:
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    staged.append(ln)
 
+        th = threading.Thread(target=reader, daemon=True)
+        th.start()
+        try:
+            p.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            p.kill()
+        th.join(timeout=5)
+
+    run_stage("host16", min(280.0, deadline_s - (time.time() - t_start)))
+    run_stage("escalate", deadline_s - (time.time() - t_start) - 10.0)
+
+    if staged:
+        print(staged[-1], flush=True)
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "pcs_prove_wall_clock",
+                "value": None,
+                "unit": "s",
+                "vs_baseline": None,
+                "error": "no stage completed within the deadline",
+            }
+        ),
+        flush=True,
+    )
+    raise SystemExit(1)
+
+
+def _size_line(log_n: int, dt: float, nbytes: int, **extra) -> str:
+    return json.dumps(
+        {
+            "metric": f"pcs_prove_wall_clock_2^{log_n}",
+            "value": round(dt, 4),
+            "unit": "s",
+            "vs_baseline": round(_baseline("pcs", log_n) / dt, 3),
+            "proof_bytes": nbytes,
+            **extra,
+        }
+    )
+
+
+def _stage_host16():
+    """CPU-backend + native host runtime PCS prove at 2^16 (no TPU)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _setup_jax()
+    from multilinear_tpu.config import ProverConfig, set_config
+
+    set_config(ProverConfig(host_threshold=1 << 18))
+    dt, nbytes = bench_pcs(16, with_proof_bytes=True, cpu_backend=True)
+    print(_size_line(16, dt, nbytes, mode="host_native"), flush=True)
+
+
+def _stage_escalate():
+    """TPU PCS proves, one JSON line per completed size (parent keeps the
+    last one).  Stops early when the next size can't fit the budget hint
+    (MLT_STAGE_BUDGET_S); a hang simply stops the lines - the parent's
+    kill-timeout handles it."""
+    budget = float(os.environ.get("MLT_STAGE_BUDGET_S", "1e9"))
+    t_start = time.time()
     jax = _setup_jax()
     import jax.numpy as jnp
 
-    # measure the per-process first-program barrier so the escalation
-    # estimate reflects marginal work, not the fixed cost
     t0 = time.time()
     jax.device_get(jax.jit(lambda a: a + 1)(jnp.arange(1024, dtype=jnp.uint32))[:1])
     barrier = time.time() - t0
 
     prev_cost = None
     for log_n in (16, 20, 22, 24):
-        remaining = deadline_s - (time.time() - t_start)
+        remaining = budget - (time.time() - t_start)
         if prev_cost is not None and remaining < 3.0 * prev_cost + 60:
             break
         t_sz = time.time()
         try:
             dt, nbytes = bench_pcs(log_n, with_proof_bytes=True)
         except Exception:
-            break  # keep the best completed size
+            break
         prev_cost = time.time() - t_sz
-        baseline = _baseline("pcs", log_n)
-        staged.clear()
-        staged.update(
-            {
-                "metric": f"pcs_prove_wall_clock_2^{log_n}",
-                "value": round(dt, 4),
-                "unit": "s",
-                "vs_baseline": round(baseline / dt, 3),
-                "proof_bytes": nbytes,
-                "startup_barrier_s": round(barrier, 1),
-            }
+        print(
+            _size_line(log_n, dt, nbytes, startup_barrier_s=round(barrier, 1)),
+            flush=True,
         )
-    emit()
 
 
 def bench_pcs_phases(log_n: int):
@@ -390,7 +457,18 @@ def main():
         "--phases", action="store_true",
         help="print a per-phase wall-clock map of one warm PCS prove",
     )
+    ap.add_argument(
+        "--stage", choices=["host16", "escalate"], default=None,
+        help="internal: driver-mode subprocess stages",
+    )
     args = ap.parse_args()
+
+    if args.stage == "host16":
+        _stage_host16()
+        return
+    if args.stage == "escalate":
+        _stage_escalate()
+        return
 
     if args.phases:
         _setup_jax()
