@@ -317,6 +317,20 @@ class FriProverData:
         transcript.absorb(tree.root_bytes())
         return data
 
+    @staticmethod
+    def init_from_host_bytes(code_bytes: np.ndarray, transcript: Transcript) -> "FriProverData":
+        """init() for a codeword already materialized as (n, 16) LE bytes
+        on the host (the fully-host prover path - native.encode_mle)."""
+        n = code_bytes.shape[0]
+        assert n & (n - 1) == 0
+        data = FriProverData()
+        data._log_domain = n.bit_length() - 1
+        data._current_host = np.ascontiguousarray(code_bytes)
+        tree = _host_commit_code(data._current_host)
+        data.trees.append(tree)
+        transcript.absorb(tree.root_bytes())
+        return data
+
     def _fold_host(self, k: int, r: Fp) -> np.ndarray:
         from . import native
 

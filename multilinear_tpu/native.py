@@ -67,6 +67,7 @@ def _load() -> None:
     lib.mlt_fold.argtypes = [u8p, u8p, u8p, u8p, ctypes.c_uint64]
     lib.mlt_fri_fold.argtypes = [u8p, ctypes.c_uint64, u8p, u8p, u8p]
     lib.mlt_pcs_partial_sums.argtypes = [u8p, u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
+    lib.mlt_encode_mle.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_fingerprint.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p]
     lib.mlt_sha256.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_sha256_many.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
@@ -149,6 +150,43 @@ def fri_fold(code: np.ndarray, r: int, tw_step: int) -> np.ndarray:
         res.append(((a + b) + r * ((a - b) * tw % P)) % P * inv2 % P)
         tw = tw * tw_step % P
     return ints_to_bytes_arr(res)
+
+
+def encode_mle(evals: np.ndarray) -> np.ndarray:
+    """(h,16) MLE evals -> (2h,16) RS codeword: Moebius transform,
+    coefficient bit-reversal (Q8), zero-pad x2, NTT over the 2h domain.
+    Bit-identical to the device fri.encode_mle_for_fri (pinned by tests)."""
+    h = evals.shape[0]
+    out = np.empty((2 * h, 16), dtype=np.uint8)
+    if HAVE_NATIVE:
+        _LIB.mlt_encode_mle(_p(np.ascontiguousarray(evals)), h, _p(out))
+        return out
+    a = bytes_arr_to_ints(evals)
+    step = 1
+    while step < h:
+        for i in range(h):
+            if i & step:
+                a[i] = (a[i] - a[i ^ step]) % P
+        step <<= 1
+    hbits = h.bit_length() - 1
+    a = [a[int(format(i, f"0{hbits}b")[::-1], 2)] for i in range(h)] if hbits else a
+    n = 2 * h
+    a = a + [0] * h
+    nbits = hbits + 1
+    a = [a[int(format(i, f"0{nbits}b")[::-1], 2)] for i in range(n)]
+    w_n = pow(3, (P - 1) // n, P)
+    length = 2
+    while length <= n:
+        wl = pow(w_n, n // length, P)
+        for blk in range(0, n, length):
+            tw = 1
+            for j in range(length // 2):
+                u, v = a[blk + j], a[blk + j + length // 2] * tw % P
+                a[blk + j] = (u + v) % P
+                a[blk + j + length // 2] = (u - v) % P
+                tw = tw * wl % P
+        length <<= 1
+    return ints_to_bytes_arr(a)
 
 
 def pcs_partial_sums(matrix: np.ndarray, delta: np.ndarray, total_degree: int) -> List[int]:

@@ -416,9 +416,28 @@ class PCSProverSession:
         from .utils import PhaseTimer
 
         pt = PhaseTimer()
-        code = encode_mle_for_fri(evals)
-        pt.mark("encode", sync=code)
-        self.fri_data = FriProverData.init(code, transcript)
+        if (height << LOG_BLOWUP) <= HOST_THRESHOLD():
+            # fully-host prove: encode in the native C++ runtime instead of
+            # paying the XLA limb-arithmetic encode (bit-identical; at the
+            # driver's TPU-free fallback size this is the 4.4 s -> ~0.1 s
+            # difference)
+            import numpy as np
+
+            from . import native
+            from .dist import fetch
+
+            evals_bytes = np.frombuffer(
+                limbs.to_le_bytes(fetch(evals)), dtype=np.uint8
+            ).reshape(-1, 16)
+            code_bytes = native.encode_mle(evals_bytes)
+            pt.mark("encode")
+            self.fri_data = FriProverData.init_from_host_bytes(
+                code_bytes, transcript
+            )
+        else:
+            code = encode_mle_for_fri(evals)
+            pt.mark("encode", sync=code)
+            self.fri_data = FriProverData.init(code, transcript)
         pt.mark("commit_l0")  # root_bytes() inside init is the sync
         self.tables = SumcheckTables.for_pcs(self.inputs, evals)
         if self.tables.data is not None:

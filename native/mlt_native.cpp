@@ -120,6 +120,57 @@ void mlt_fold(const u8* lo, const u8* hi, const u8* r16, u8* out, u64 n) {
     }
 }
 
+// Host-native MLE -> RS-codeword encode: Moebius eval->coeff transform
+// (reference src/polynomials.rs:150-163), coefficient bit-reversal
+// (quirk Q8, reference src/fri/multilinear_pcs.rs:101-107), zero-pad x2
+// and radix-2 NTT over the 2h-domain (reference src/ntt/mod.rs:69-110,
+// src/fri/mod.rs:19-28).  evals: h elements; out: 2h elements.  Used by
+// the fully-host prover path (code length under host_threshold) so the
+// TPU-free fallback does not pay the XLA-CPU limb-arithmetic encode.
+void mlt_encode_mle(const u8* evals, u64 h, u8* out) {
+    u64 n = 2 * h;
+    u128* a = (u128*)std::malloc(n * sizeof(u128));
+    for (u64 i = 0; i < h; i++) a[i] = load_f(evals + 16 * i);
+    // Moebius: for each bit, x[i] -= x[i ^ bit] where bit set in i
+    for (u64 step = 1; step < h; step <<= 1)
+        for (u64 i = 0; i < h; i++)
+            if (i & step) a[i] = sub_mod(a[i], a[i ^ step]);
+    // coefficient bit-reversal over the h coefficients
+    int hbits = 0;
+    while ((1ull << hbits) < h) hbits++;
+    for (u64 i = 0; i < h; i++) {
+        u64 j = 0;
+        for (int b = 0; b < hbits; b++)
+            if (i & (1ull << b)) j |= 1ull << (hbits - 1 - b);
+        if (j > i) { u128 t = a[i]; a[i] = a[j]; a[j] = t; }
+    }
+    for (u64 i = h; i < n; i++) a[i] = 0;
+    // radix-2 DIT NTT over the n-domain: bit-reverse then stages
+    int nbits = hbits + 1;
+    for (u64 i = 0; i < n; i++) {
+        u64 j = 0;
+        for (int b = 0; b < nbits; b++)
+            if (i & (1ull << b)) j |= 1ull << (nbits - 1 - b);
+        if (j > i) { u128 t = a[i]; a[i] = a[j]; a[j] = t; }
+    }
+    u128 w_n = pow_mod(3, (P - 1) / n);
+    for (u64 len = 2; len <= n; len <<= 1) {
+        u128 wl = pow_mod(w_n, n / len);
+        u128 tw = 1;
+        for (u64 j = 0; j < len / 2; j++) {
+            for (u64 blk = 0; blk < n; blk += len) {
+                u128 u = a[blk + j];
+                u128 v = mul_mod(a[blk + j + len / 2], tw);
+                a[blk + j] = add_mod(u, v);
+                a[blk + j + len / 2] = sub_mod(u, v);
+            }
+            tw = mul_mod(tw, wl);
+        }
+    }
+    for (u64 i = 0; i < n; i++) store_f(out + 16 * i, a[i]);
+    std::free(a);
+}
+
 // FRI fold step: next[i] = ((a+b) + r*(a-b)*ginv^(i*step_pow)) / 2
 // code: 2n elements (a = code[i], b = code[i+n]); tw_step = ginv^(2^k).
 void mlt_fri_fold(const u8* code, u64 half, const u8* r16, const u8* tw_step16,

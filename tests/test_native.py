@@ -107,6 +107,68 @@ def test_merkle_verify_parity():
     assert not ok
 
 
+def test_encode_mle_parity():
+    """native.encode_mle == the device encode (Moebius + bitrev + RS NTT),
+    native vs pure-Python fallback vs jit path all byte-identical."""
+    import jax.numpy as jnp
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.fri import encode_mle_for_fri
+
+    vals = _rand(1 << 8)
+    evals_bytes = native.ints_to_bytes_arr(vals)
+    got = native.encode_mle(evals_bytes)
+
+    dev = jnp.asarray(limbs.pack_ints(vals))
+    want_limbs = np.asarray(encode_mle_for_fri(dev))
+    want = np.frombuffer(
+        limbs.to_le_bytes(want_limbs), dtype=np.uint8
+    ).reshape(-1, 16)
+    assert np.array_equal(got, want)
+
+    if native.HAVE_NATIVE:  # also pin the pure-Python fallback
+        import multilinear_tpu.native as nat
+
+        orig = nat.HAVE_NATIVE
+        try:
+            nat.HAVE_NATIVE = False
+            got_py = native.encode_mle(evals_bytes)
+        finally:
+            nat.HAVE_NATIVE = orig
+        assert np.array_equal(got_py, want)
+
+
+def test_host_native_prove_bit_identical():
+    """The fully-host prove (native encode + host rounds) produces byte-
+    identical proofs to the device-encode path."""
+    import jax.numpy as jnp
+
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import evaluate_evals_host
+    from multilinear_tpu.pcs import PCSProof
+    from multilinear_tpu.serialize import pcs_proof_to_bytes
+    from multilinear_tpu.transcript import Transcript
+
+    n = 8
+    evals = [Fp(i * 3 + 11) for i in range(1 << n)]
+    dev = jnp.asarray(limbs.pack_ints(evals))
+    inputs = [Fp(i + 4) for i in range(n)]
+    output = evaluate_evals_host(dev, inputs)
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=16))  # device-encode reference
+        ref = PCSProof.prove(inputs, output, dev, Transcript())
+        set_config(ProverConfig(host_threshold=1 << 10))  # fully-host path
+        got = PCSProof.prove(inputs, output, dev, Transcript())
+    finally:
+        set_config(old)
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
+    got.verify(Transcript())
+
+
 def test_baseline_binary_transcript_parity():
     """The measured single-core CPU baseline (native/baseline.cpp) must
     perform the reference's exact work: its PCS transcript digests are
