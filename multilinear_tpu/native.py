@@ -68,6 +68,7 @@ def _load() -> None:
     lib.mlt_fri_fold.argtypes = [u8p, ctypes.c_uint64, u8p, u8p, u8p]
     lib.mlt_pcs_partial_sums.argtypes = [u8p, u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
     lib.mlt_encode_mle.argtypes = [u8p, ctypes.c_uint64, u8p]
+    lib.mlt_delta_table.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_fingerprint.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p]
     lib.mlt_sha256.argtypes = [u8p, ctypes.c_uint64, u8p]
     lib.mlt_sha256_many.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p]
@@ -150,6 +151,22 @@ def fri_fold(code: np.ndarray, r: int, tw_step: int) -> np.ndarray:
         res.append(((a + b) + r * ((a - b) * tw % P)) % P * inv2 % P)
         tw = tw * tw_step % P
     return ints_to_bytes_arr(res)
+
+
+def delta_table(point_vals: List[int]) -> np.ndarray:
+    """eq(points, bits(i)) over {0,1}^n as a (2^n, 16) byte array,
+    big-endian variable order (quirk Q8)."""
+    n_vars = len(point_vals)
+    out = np.empty((1 << n_vars, 16), dtype=np.uint8)
+    if HAVE_NATIVE:
+        pts = ints_to_bytes_arr(point_vals)
+        _LIB.mlt_delta_table(_p(pts), n_vars, _p(out))
+        return out
+    table = [1]
+    for p in point_vals:
+        om = (1 - p) % P
+        table = [v * w % P for v in table for w in (om, p)]
+    return ints_to_bytes_arr(table)
 
 
 def encode_mle(evals: np.ndarray) -> np.ndarray:

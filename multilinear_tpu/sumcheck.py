@@ -64,15 +64,12 @@ def _pack_tables_kernel(cols, subs):
 
 
 def _host_delta_table(points: Sequence[Fp]):
-    """eq(points, .) over {0,1}^n as host ints, big-endian doubling."""
-    from .field.scalar import P
+    """eq(points, .) over {0,1}^n, big-endian doubling, as a (2^n, 16)
+    byte array computed in the native runtime (Python-bigint fallback in
+    native.delta_table; reference evaluation.rs:50-91 semantics)."""
+    from . import native
 
-    table = [1]
-    for pt in points:
-        p = Fp(pt).v
-        om = (1 - p) % P
-        table = [v * w % P for v in table for w in (om, p)]
-    return table
+    return native.delta_table([Fp(pt).v for pt in points])
 
 # A composition maps a list of per-column FA arrays to one FA array.
 # Mirrors the reference composition closure (sumcheck.rs:47-52) but

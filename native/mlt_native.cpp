@@ -120,6 +120,25 @@ void mlt_fold(const u8* lo, const u8* hi, const u8* r16, u8* out, u64 n) {
     }
 }
 
+// delta[i] = eq(points, bits(i)) over {0,1}^n_vars, big-endian variable
+// order (quirk Q8; reference src/constraint_system/evaluation.rs:50-91
+// semantics) by in-place tensor-product doubling: new[2i] = old[i]*(1-p),
+// new[2i+1] = old[i]*p.  points: n_vars elements; out: 2^n_vars elements.
+void mlt_delta_table(const u8* points, u64 n_vars, u8* out) {
+    store_f(out, 1);
+    u64 size = 1;
+    for (u64 v = 0; v < n_vars; v++) {
+        u128 p = load_f(points + 16 * v);
+        u128 om = sub_mod(1, p);
+        for (u64 i = size; i-- > 0;) {
+            u128 t = load_f(out + 16 * i);
+            store_f(out + 16 * (2 * i), mul_mod(t, om));
+            store_f(out + 16 * (2 * i + 1), mul_mod(t, p));
+        }
+        size <<= 1;
+    }
+}
+
 // Host-native MLE -> RS-codeword encode: Moebius eval->coeff transform
 // (reference src/polynomials.rs:150-163), coefficient bit-reversal
 // (quirk Q8, reference src/fri/multilinear_pcs.rs:101-107), zero-pad x2

@@ -107,6 +107,37 @@ def test_merkle_verify_parity():
     assert not ok
 
 
+def test_delta_table_parity():
+    """native.delta_table == Python bigint doubling == device delta."""
+    import jax.numpy as jnp
+
+    from multilinear_tpu.field import limbs
+    from multilinear_tpu.field.scalar import Fp
+    from multilinear_tpu.mle import delta_subtables, combine_subtables
+
+    pts = _rand(9)
+    got = native.delta_table(pts)
+
+    table = [1]
+    for p in pts:
+        table = [v * w % P for v in table for w in ((1 - p) % P, p)]
+    assert native.bytes_arr_to_ints(got) == table
+
+    dev = combine_subtables(delta_subtables([Fp(p) for p in pts]))
+    assert list(limbs.unpack_ints(np.asarray(dev))) == table
+
+    if native.HAVE_NATIVE:
+        import multilinear_tpu.native as nat
+
+        orig = nat.HAVE_NATIVE
+        try:
+            nat.HAVE_NATIVE = False
+            got_py = native.delta_table(pts)
+        finally:
+            nat.HAVE_NATIVE = orig
+        assert np.array_equal(got_py, got)
+
+
 def test_encode_mle_parity():
     """native.encode_mle == the device encode (Moebius + bitrev + RS NTT),
     native vs pure-Python fallback vs jit path all byte-identical."""
