@@ -104,11 +104,13 @@ def bench_pcs(log_n: int, with_proof_bytes: bool = False, cpu_backend: bool = Fa
     proof, dt = run()
     _, dt2 = run()
     dt = min(dt, dt2)
+    t0 = time.perf_counter()
     proof.verify(Transcript())
+    verify_s = time.perf_counter() - t0
     if with_proof_bytes:
         from multilinear_tpu.serialize import pcs_proof_to_bytes
 
-        return dt, len(pcs_proof_to_bytes(proof))
+        return dt, len(pcs_proof_to_bytes(proof)), verify_s
     return dt
 
 
@@ -366,8 +368,11 @@ def _stage_host16():
     from multilinear_tpu.config import ProverConfig, set_config
 
     set_config(ProverConfig(host_threshold=1 << 18))
-    dt, nbytes = bench_pcs(16, with_proof_bytes=True, cpu_backend=True)
-    print(_size_line(16, dt, nbytes, mode="host_native"), flush=True)
+    dt, nbytes, verify_s = bench_pcs(16, with_proof_bytes=True, cpu_backend=True)
+    print(
+        _size_line(16, dt, nbytes, mode="host_native", verify_s=round(verify_s, 4)),
+        flush=True,
+    )
 
 
 def _stage_escalate():
@@ -391,12 +396,16 @@ def _stage_escalate():
             break
         t_sz = time.time()
         try:
-            dt, nbytes = bench_pcs(log_n, with_proof_bytes=True)
+            dt, nbytes, verify_s = bench_pcs(log_n, with_proof_bytes=True)
         except Exception:
             break
         prev_cost = time.time() - t_sz
         print(
-            _size_line(log_n, dt, nbytes, startup_barrier_s=round(barrier, 1)),
+            _size_line(
+                log_n, dt, nbytes,
+                startup_barrier_s=round(barrier, 1),
+                verify_s=round(verify_s, 4),
+            ),
             flush=True,
         )
 
@@ -489,8 +498,8 @@ def main():
         "snark": bench_snark,
     }[args.metric]
     if args.metric == "pcs":
-        dt, nbytes = bench_pcs(args.log_n, with_proof_bytes=True)
-        extra = {"proof_bytes": nbytes}
+        dt, nbytes, verify_s = bench_pcs(args.log_n, with_proof_bytes=True)
+        extra = {"proof_bytes": nbytes, "verify_s": round(verify_s, 4)}
     else:
         dt = fn(args.log_n)
         extra = {}

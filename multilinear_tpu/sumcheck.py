@@ -338,11 +338,11 @@ def _vandermonde_inv_limbs(n: int):
     return jnp.asarray(arr)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
-def _device_sc_round(data, tr_state, prev, vinv, aux_limbs, total_degree: int, composition):
-    """One COMPLETE standalone-sumcheck round on device, Fiat-Shamir
-    included: partial sums, s(0) recovery, interpolation (V^{-1} matvec),
-    coefficient absorption, challenge, fold, and the telescoped next sum.
+def _sc_round_body(data, tr_state, prev, vinv, aux_limbs, total_degree: int, composition):
+    """One COMPLETE standalone-sumcheck round as a traceable body,
+    Fiat-Shamir included: partial sums, s(0) recovery, interpolation
+    (V^{-1} matvec), coefficient absorption, challenge, fold, and the
+    telescoped next sum.
 
     Zero host synchronization - consecutive rounds stream through the
     dispatch queue exactly like the PCS device rounds.
@@ -372,6 +372,24 @@ def _device_sc_round(data, tr_state, prev, vinv, aux_limbs, total_degree: int, c
     return new_data, tr, (r, jnp.stack(coeffs[1:], axis=0), new_prev)
 
 
+_device_sc_round = partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))(
+    _sc_round_body
+)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
+def _device_sc_round2(data, tr_state, prev, vinv, aux_limbs, total_degree: int, composition):
+    """TWO consecutive standalone-sumcheck rounds in one device program
+    (bit-identical to two _device_sc_round dispatches - shared body)."""
+    d1, tr, meta_a = _sc_round_body(
+        data, tr_state, prev, vinv, aux_limbs, total_degree, composition
+    )
+    d2, tr, meta_b = _sc_round_body(
+        d1, tr, meta_a[2], vinv, aux_limbs, total_degree, composition
+    )
+    return d2, tr, (meta_a, meta_b)
+
+
 def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition, aux=None):
     """Stream as many standalone-sumcheck rounds as possible on device.
 
@@ -391,12 +409,22 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     aux_limbs = _aux_limbs_arr(aux)
     prev = jnp.asarray(limbs.pack_scalar(previous_sum))
     metas = []
-    while (
-        not tables.on_host
-        and tables.height > HOST_THRESHOLD()
-        and tables.height <= get_config().fused_round_max_code
-        and tables.height > 1
-    ):
+    def streamable(height):
+        return (
+            HOST_THRESHOLD() < height <= get_config().fused_round_max_code
+            and height > 1
+        )
+
+    while not tables.on_host and streamable(tables.height):
+        if get_config().stream_round_pairs and streamable(tables.height // 2):
+            new_data, tr_state, (meta_a, meta_b) = _device_sc_round2(
+                tables.data, tr_state, prev, vinv, aux_limbs, total_degree,
+                composition,
+            )
+            tables.apply_folded(new_data, levels=2)
+            prev = meta_b[2]
+            metas.extend([meta_a, meta_b])
+            continue
         new_data, tr_state, meta = _device_sc_round(
             tables.data, tr_state, prev, vinv, aux_limbs, total_degree, composition
         )
