@@ -145,6 +145,43 @@ def main() -> int:
             f" ({nh/per/1e6:.0f} Mhash/s)"
         )
 
+        # --- zeta/Moebius transform (to_coeffs): log n bit-stages.
+        # jnp path sweeps HBM once per bit (2 x 134 MB x 22 stages at
+        # 2^22); the multi-stage kernel sweeps ceil(22/8)+transpose passes.
+        from multilinear_tpu import mle
+
+        def moeb_step(x):
+            return mle.to_coeffs(x)
+
+        per = timed_chain(moeb_step, a)
+        print(
+            f"to_coeffs[{tag}] 2^22: chained {per*1e3:.3f} ms"
+            f" ({2*a.nbytes/per/1e9:.0f} GB/s per-sweep-pair equiv)"
+        )
+
+        # --- NTT 2^22 (four-step: butterflies + twiddle mul + transposes)
+        from multilinear_tpu.ntt import ntt
+
+        per = timed_chain(lambda x: ntt(x), a)
+        naive = timed_naive(ntt, a)
+        print(
+            f"ntt[{tag}] 2^22: chained {per*1e3:.3f} ms, naive-slice {naive*1e3:.3f} ms"
+        )
+
+        # --- delta-table build via kron (2^22 table from 256/256/64 subs)
+        from multilinear_tpu.mle import delta_subtables, combine_subtables
+
+        # 24 vars -> 8+8+8 chunks (the kron kernel needs the trailing
+        # factor divisible by 128); output (8, 2^24) = 512 MB
+        subs = delta_subtables([Fp(i * 3 + 5) for i in range(24)])
+        kron_jit = jax.jit(combine_subtables)
+        naive = timed_naive(kron_jit, subs)
+        out_bytes = 8 * (1 << 24) * 4
+        print(
+            f"delta/kron[{tag}] 2^24: {naive*1e3:.3f} ms"
+            f" ({out_bytes/naive/1e9:.0f} GB/s output write rate)"
+        )
+
     return 0
 
 
