@@ -44,6 +44,8 @@ def _setup_jax():
 # Regenerate with: cd native && g++ -O3 -march=native -o baseline
 # baseline.cpp && ./baseline <metric> <log_n>
 _BASELINE_MEASURED_S = {
+    ("pcs", 16): 0.32,
+    ("pcs", 18): 1.34,
     ("pcs", 20): 2.74,
     ("pcs", 22): 11.28,
     ("pcs", 24): 47.65,
