@@ -163,7 +163,11 @@ def bench_fri(log_n: int):
     run()
     proof, dt = run()
     proof.verify()
-    return dt
+    # serialized size parity with the reference FRI bench
+    # (src/fri/mod.rs:389-397 prints the bincode size)
+    from multilinear_tpu.serialize import fri_proof_to_bytes
+
+    return dt, {"proof_bytes": len(fri_proof_to_bytes(proof))}
 
 
 def bench_sumcheck(log_n: int):
@@ -505,6 +509,8 @@ def main():
     else:
         dt = fn(args.log_n)
         extra = {}
+        if isinstance(dt, tuple):
+            dt, extra = dt
     baseline = _baseline(args.metric, args.log_n)
     print(
         json.dumps(
