@@ -13,7 +13,7 @@ speedup vs the MEASURED single-core reference-semantics baseline
 framework's proofs, see _BASELINE_MEASURED_S below).  vs_baseline > 1
 means faster than one CPU core running the reference's algorithms.
 
-Usage: python bench.py [--log-n 20] [--metric pcs|ntt|fri|sumcheck]
+Usage: python bench.py [--log-n 20] [--metric pcs|ntt|fri|sumcheck|batched-pcs|snark]
 """
 
 from __future__ import annotations
@@ -242,7 +242,9 @@ def bench_batched_pcs(log_n: int, n_polys: int = 10):
     _, dt2 = run()
     dt = min(dt, dt2)
     proof.verify(Transcript())
-    return dt
+    from multilinear_tpu.serialize import batched_pcs_proof_to_bytes
+
+    return dt, {"proof_bytes": len(batched_pcs_proof_to_bytes(proof))}
 
 
 def bench_snark(log_n: int):
@@ -276,7 +278,9 @@ def bench_snark(log_n: int):
         vt, constraints, WitnessLayout(columns=1), Commitment(), log_n
     )
     verifier.verify_snark(vt, proof)
-    return dt
+    from multilinear_tpu.serialize import snark_proof_to_bytes
+
+    return dt, {"proof_bytes": len(snark_proof_to_bytes(proof))}
 
 
 def _driver_mode(deadline_s: float):
