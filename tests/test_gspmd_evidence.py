@@ -53,6 +53,37 @@ def test_per_device_memory_is_sharded():
     assert data.addressable_shards[0].data.shape == (8, 2, h // 8)
 
 
+def test_streamed_round_pair_partitions():
+    """The fused two-round streaming program (the default streamed path)
+    also partitions under the mesh: collectives present, per-device
+    argument bytes ~1/8 of global."""
+    from multilinear_tpu import device_transcript as dtr
+    from multilinear_tpu.pcs import _device_pcs_round2
+
+    mesh = make_mesh()
+    h = 1 << 12
+    data = jax.device_put(
+        jnp.zeros((8, 2, h), jnp.uint32), hypercube_sharding(mesh, 3)
+    )
+    code = jax.device_put(
+        jnp.zeros((8, 2 * h), jnp.uint32), hypercube_sharding(mesh, 2)
+    )
+    inv_pows = jax.device_put(
+        jnp.zeros((8, h), jnp.uint32), hypercube_sharding(mesh, 2)
+    )
+    tr = dtr.fresh_state()
+    prev = jnp.zeros((8,), jnp.uint32)
+    compiled = _device_pcs_round2.lower(
+        data, code, inv_pows, tr, prev, 0
+    ).compile()
+    txt = compiled.as_text()
+    assert txt.count("all-reduce") >= 1
+    assert txt.count("collective-permute") >= 1
+    global_bytes = data.nbytes + code.nbytes + inv_pows.nbytes
+    per_device = compiled.memory_analysis().argument_size_in_bytes
+    assert per_device < 0.2 * global_bytes, (per_device, global_bytes)
+
+
 def test_folded_outputs_stay_sharded():
     compiled, _ = _compiled_round(1 << 12)
     sums_sh, data_sh, code_sh = compiled.output_shardings
