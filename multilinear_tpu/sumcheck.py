@@ -377,19 +377,6 @@ _device_sc_round = partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))(
 )
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))
-def _device_sc_round2(data, tr_state, prev, vinv, aux_limbs, total_degree: int, composition):
-    """TWO consecutive standalone-sumcheck rounds in one device program
-    (bit-identical to two _device_sc_round dispatches - shared body)."""
-    d1, tr, meta_a = _sc_round_body(
-        data, tr_state, prev, vinv, aux_limbs, total_degree, composition
-    )
-    d2, tr, meta_b = _sc_round_body(
-        d1, tr, meta_a[2], vinv, aux_limbs, total_degree, composition
-    )
-    return d2, tr, (meta_a, meta_b)
-
-
 def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition, aux=None):
     """Stream as many standalone-sumcheck rounds as possible on device.
 
@@ -409,22 +396,19 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     aux_limbs = _aux_limbs_arr(aux)
     prev = jnp.asarray(limbs.pack_scalar(previous_sum))
     metas = []
-    def streamable(height):
-        return (
-            HOST_THRESHOLD() < height <= get_config().fused_round_max_code
-            and height > 1
-        )
-
-    while not tables.on_host and streamable(tables.height):
-        if get_config().stream_round_pairs and streamable(tables.height // 2):
-            new_data, tr_state, (meta_a, meta_b) = _device_sc_round2(
-                tables.data, tr_state, prev, vinv, aux_limbs, total_degree,
-                composition,
-            )
-            tables.apply_folded(new_data, levels=2)
-            prev = meta_b[2]
-            metas.extend([meta_a, meta_b])
-            continue
+    # NOTE: no two-rounds-per-dispatch fusion here, deliberately.  The PCS
+    # and FRI streamed rounds fuse in pairs (stream_round_pairs), but the
+    # standalone-sumcheck round embeds the user COMPOSITION (constraints x
+    # eq-mask x X=1..d extensions); doubling that body made XLA compile
+    # time explode superlinearly (identity composition: 50 s on CPU; the
+    # 4-column degree-2 test composition: >12 min, vs seconds for the
+    # single round).  The dispatch saving (~tens of ms/proof) cannot repay
+    # a per-(composition, shape) compile that large.
+    while (
+        not tables.on_host
+        and HOST_THRESHOLD() < tables.height <= get_config().fused_round_max_code
+        and tables.height > 1
+    ):
         new_data, tr_state, meta = _device_sc_round(
             tables.data, tr_state, prev, vinv, aux_limbs, total_degree, composition
         )
