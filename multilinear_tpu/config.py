@@ -60,6 +60,16 @@ class ProverConfig:
     # (results stay identical; only which kernel runs differs).  Flip it in
     # a fresh process (or jax.clear_caches()) for benchmarking comparisons.
     use_pallas: Optional[bool] = None
+    # shard_map streamed rounds: when the prover's arrays live on a
+    # >1-device mesh, run each streamed PCS round as a shard_map program
+    # whose local bodies dispatch the Pallas kernels per shard
+    # (parallel/sharded_rounds.py) - the multi-chip fast path.  None =
+    # auto (on whenever the inputs are on a multi-device mesh and shapes
+    # divide the mesh); False forces the GSPMD jnp round (round-2
+    # behavior); True is just documentation - the auto gate already
+    # dispatches whenever legal.  Bit-identical either way (pinned by
+    # tests/test_parallel.py).
+    shard_map_rounds: Optional[bool] = None
     # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
     # SURVEY.md section 5): when True, protocol-boundary kernels attach a
     # host callback asserting every field element is canonical (16-bit

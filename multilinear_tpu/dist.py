@@ -23,9 +23,22 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 
 def _replicate(x):
-    """All-gather a cross-process sharded array into full replication."""
+    """All-gather a cross-process sharded array into full replication.
+
+    Handles both NamedSharding outputs and the GSPMDSharding that
+    multi-controller jit outputs sometimes carry (no ``.mesh`` attribute;
+    the mesh is reconstructed from the device assignment - the order only
+    fixes which device holds which replica, so any consistent order is
+    correct)."""
+    sh = x.sharding
+    mesh = getattr(sh, "mesh", None)
+    if mesh is None:
+        devs = list(getattr(sh, "_device_assignment", None) or sorted(
+            x.devices(), key=lambda d: d.id
+        ))
+        mesh = jax.sharding.Mesh(np.asarray(devs), ("_gather",))
     return jax.jit(
-        lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec())
+        lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec())
     )(x)
 
 

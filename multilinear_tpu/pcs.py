@@ -206,7 +206,7 @@ def _device_rounds(
     """
     import numpy as np
 
-    from . import device_transcript as dtr
+    from . import device_transcript as dtr, stats
     from .field.limbs import unpack_int
 
     blowup = 1 << LOG_BLOWUP
@@ -229,6 +229,39 @@ def _device_rounds(
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
         cfg = get_config()
+        # multi-chip fast path: shard_map round with per-shard Pallas
+        # kernels (parallel/sharded_rounds.py) whenever the arrays live on
+        # a >1-device mesh and every sharded axis divides the mesh
+        if cfg.shard_map_rounds is not False:
+            from .parallel.sharded_rounds import make_pcs_round, mesh_of
+
+            mesh = mesh_of(fri_data._current) or mesh_of(tables.data)
+            D = mesh.size if mesh is not None else 0
+            d_off = tables.data.shape[-1] // 2
+            q = half // 2
+            if (
+                mesh is not None
+                and q >= D
+                and q % D == 0
+                and d_off >= D
+                and d_off % D == 0
+                and half % D == 0
+                and m // D <= cfg.fused_round_max_code
+            ):
+                new_data, nxt, pairs, layers, tr_state, meta = make_pcs_round(
+                    mesh
+                )(
+                    tables.data, fri_data._current, inv_pows, tr_state, prev,
+                    start_k + k,
+                )
+                stats.bump("rounds_shard_map")
+                tables.apply_folded(new_data)
+                fri_data._current = nxt
+                fri_data.trees.append(MerkleTree(list(layers), pairs))
+                prev = meta[3]
+                outs.append(meta)
+                k += 1
+                continue
         if m > cfg.fused_round_max_code:
             C = cfg.kernel_chunk
             d_off = tables.data.shape[-1] // 2
@@ -243,6 +276,7 @@ def _device_rounds(
                 tables.data, fri_data._current, inv_pows, tr_state, prev,
                 start_k + k, C,
             )
+            stats.bump("rounds_streamed_oversized")
         else:
             # fuse with the NEXT round when it would also stream (same
             # conditions at half the code size) - one dispatch, one program
@@ -273,11 +307,13 @@ def _device_rounds(
                 fri_data.trees.append(MerkleTree(list(layers_b), pairs_b))
                 prev = meta_b[3]
                 outs.extend([meta_a, meta_b])
+                stats.bump("rounds_streamed", 2)
                 k += 2
                 continue
             new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round(
                 tables.data, fri_data._current, inv_pows, tr_state, prev, start_k + k
             )
+            stats.bump("rounds_streamed")
         tables.apply_folded(new_data)
         fri_data._current = nxt
         fri_data.trees.append(MerkleTree(list(layers), pairs))
@@ -308,6 +344,7 @@ def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: F
     the next layer is committed on device; falls back to the separate
     paths near the host-threshold tail.
     """
+    from . import stats
     from .config import get_config
 
     blowup = 1 << LOG_BLOWUP
@@ -333,7 +370,9 @@ def fused_pcs_fold(tables: SumcheckTables, fri_data: FriProverData, k: int, r: F
             tree = MerkleTree(list(layers), pairs)
             fri_data.trees.append(tree)
             transcript.absorb(tree.root_bytes())
+            stats.bump("rounds_fused_tail")
             return
+    stats.bump("rounds_host" if tables.on_host else "rounds_chunked_hostdriven")
     tables.fold(r)
     fri_data.fold_step(k, r, transcript)
 

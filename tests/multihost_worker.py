@@ -1,5 +1,14 @@
 """Subprocess body for tests/test_multihost.py (2-process jax.distributed).
 
+Proves over the 8-device global mesh (4 virtual CPU devices per process)
+with host_threshold FORCED to 16 so the STREAMED DEVICE rounds run (the
+round-2 verdict caught the previous version proving through the fully-
+host path - its only distributed op was the final all-gather).  Both the
+plain PCS (hypercube axis sharded = SP) and the batched PCS (batch axis
+sharded across the two processes = the expert-parallel analog, SURVEY.md
+section 2.3) are exercised; each prove asserts via multilinear_tpu.stats
+that streamed device rounds actually executed.
+
 Run: python multihost_worker.py <process_id> <num_processes> <port>
 """
 import os
@@ -16,6 +25,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from multilinear_tpu.parallel.multihost import initialize_and_mesh
 
@@ -24,17 +38,28 @@ mesh = initialize_and_mesh(
 )
 print(f"[{pid}] process_count={jax.process_count()} devices={len(jax.devices())} local={len(jax.local_devices())}", flush=True)
 
+import hashlib
+
 import jax.numpy as jnp
 import numpy as np
 
+from multilinear_tpu import stats
+from multilinear_tpu.batched_pcs import BatchedPCSClaim, BatchedPCSProof
+from multilinear_tpu.config import ProverConfig, set_config
 from multilinear_tpu.field import limbs
 from multilinear_tpu.field.scalar import Fp
 from multilinear_tpu.mle import evaluate_evals_host
-from multilinear_tpu.parallel import shard_hypercube
+from multilinear_tpu.parallel import shard_batch, shard_hypercube
 from multilinear_tpu.pcs import PCSProof
-from multilinear_tpu.serialize import pcs_proof_to_bytes
+from multilinear_tpu.serialize import (
+    batched_pcs_proof_to_bytes,
+    pcs_proof_to_bytes,
+)
 from multilinear_tpu.transcript import Transcript
 
+set_config(ProverConfig(host_threshold=16))  # device rounds + device FS
+
+# --- plain PCS, hypercube axis sharded across both processes ---------------
 n = 10
 h = 1 << n
 vals = (np.arange(h, dtype=np.uint64) * 7 + 3).tolist()
@@ -44,10 +69,37 @@ print(f"[{pid}] sharding: {evals.sharding}", flush=True)
 inputs = [Fp(i) for i in range(n)]
 output = evaluate_evals_host(jnp.asarray(host_arr), inputs)
 
+stats.reset()
 proof = PCSProof.prove(inputs, output, evals, Transcript())
+streamed = (stats.get("rounds_streamed") + stats.get("rounds_streamed_oversized")
+            + stats.get("rounds_shard_map"))
+assert streamed > 0, f"no streamed device rounds ran: {stats.counters}"
+print(f"[{pid}] STREAMED_ROUNDS {streamed}", flush=True)
 buf = pcs_proof_to_bytes(proof)
-import hashlib
-
 print(f"[{pid}] PROOF_SHA {hashlib.sha256(buf).hexdigest()}", flush=True)
 proof.verify(Transcript())
 print(f"[{pid}] VERIFY_OK", flush=True)
+
+# --- batched PCS, batch axis sharded across the two processes (EP) ---------
+nb, B = 8, 8
+hb = 1 << nb
+bvals = np.arange(B * hb, dtype=np.uint64) * 11 + 5
+polys_host = limbs.pack_ints(bvals, shape=(B, hb))
+polys = shard_batch(jnp.asarray(polys_host), mesh)
+binputs = [Fp(i + 2) for i in range(nb)]
+boutputs = [
+    evaluate_evals_host(jnp.asarray(polys_host)[:, j], binputs) for j in range(B)
+]
+
+stats.reset()
+bproof = BatchedPCSProof.prove(
+    BatchedPCSClaim(list(binputs), list(boutputs)), polys, Transcript()
+)
+bstreamed = (stats.get("rounds_streamed") + stats.get("rounds_streamed_oversized")
+            + stats.get("rounds_shard_map"))
+assert bstreamed > 0, f"no streamed device rounds ran (batched): {stats.counters}"
+print(f"[{pid}] BATCHED_STREAMED_ROUNDS {bstreamed}", flush=True)
+bbuf = batched_pcs_proof_to_bytes(bproof)
+print(f"[{pid}] BATCHED_PROOF_SHA {hashlib.sha256(bbuf).hexdigest()}", flush=True)
+bproof.verify(Transcript())
+print(f"[{pid}] BATCHED_VERIFY_OK", flush=True)

@@ -179,6 +179,54 @@ def main() -> int:
     failures += not okay
     print(f"shard_map round 2^20: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
 
+    # --- full shard_map PCS round (the production multi-chip path) -------
+    # parity vs the jnp streamed round AND a Mosaic-lowering assertion:
+    # the compiled shard_map round must contain tpu_custom_call (the
+    # Pallas kernels), which the GSPMD round cannot have on a >1-device
+    # mesh (VERDICT r2 item 4 'done' criterion; a 1-chip mesh runs the
+    # identical shard_map code path).
+    from multilinear_tpu import device_transcript as dtr
+    from multilinear_tpu.ntt import inv_gen_pows
+    from multilinear_tpu.parallel.sharded_rounds import make_pcs_round
+    from multilinear_tpu.pcs import _device_pcs_round
+    from multilinear_tpu.transcript import Transcript
+
+    log_n = 18
+    hn2 = 1 << log_n
+    data_np = np.stack(
+        [np.asarray(rand_limbs(hn2)), np.asarray(rand_limbs(hn2))], axis=1
+    )
+    code_np = np.asarray(rand_limbs(2 * hn2))
+    inv_pows = inv_gen_pows(log_n + 1)
+    prev = jnp.asarray(limbs.pack_scalar(Fp(424242)))
+
+    _set_pallas(False)
+    tr0 = dtr.state_from_host(Transcript())
+    want = _device_pcs_round(
+        jnp.asarray(data_np), jnp.asarray(code_np), inv_pows, tr0, prev, 0
+    )
+    want_leaves = jax.tree_util.tree_leaves(want)
+    jax.device_get(want_leaves[0].reshape(-1)[:8])
+
+    _set_pallas(True)
+    rnd = make_pcs_round(mesh)
+    tr1 = dtr.state_from_host(Transcript())
+    args = (jnp.asarray(data_np), jnp.asarray(code_np), inv_pows, tr1, prev)
+    compiled = rnd.lower(*args, 0).compile()
+    hlo = compiled.as_text()
+    has_mosaic = "tpu_custom_call" in hlo
+    got, dt = _timed(lambda *a: rnd(*a, 0), *args)
+    got_leaves = jax.tree_util.tree_leaves(got)
+    okay = has_mosaic and len(want_leaves) == len(got_leaves) and all(
+        np.array_equal(np.asarray(w), np.asarray(g))
+        for w, g in zip(want_leaves, got_leaves)
+    )
+    failures += not okay
+    print(
+        f"shard_map FULL round 2^{log_n}: {'OK' if okay else 'MISMATCH'}"
+        f"  mosaic_custom_call={has_mosaic}  pallas={dt*1e3:.2f} ms"
+    )
+
     _set_pallas(None)
     print("ALL OK" if not failures else f"{failures} FAILURES")
     return 1 if failures else 0
