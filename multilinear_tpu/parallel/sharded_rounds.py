@@ -107,32 +107,139 @@ def _commit_body(n_lo, n_hi):
     return tuple(levels)
 
 
+def _psums_body_big(d_lo, d_hi, C: int):
+    """Chunked local partial sums: fori_loop over C-sized windows of the
+    LOCAL block, accumulating with the exact mod-p add.  Live temporaries
+    stay one chunk; chunk order does not matter (canonical residues)."""
+    w1 = d_lo.shape[1]
+    n = d_lo.shape[-1]
+
+    def chunk_sums(lo, hi):
+        w = w1 - 1
+        diff = ops.sub(hi, lo)
+        e1 = hi
+        e2 = ops.add(hi, diff)
+        sums = []
+        for e in (e1, e2):
+            prod = _local_mul(e[:, w], e[:, 0])
+            sums.append(ops.sum_mod(prod, axis=1))
+        return jnp.stack(sums, axis=1)
+
+    def body(i, acc):
+        s = i * C
+        lo = jax.lax.dynamic_slice(d_lo, (0, 0, s), (8, w1, C))
+        hi = jax.lax.dynamic_slice(d_hi, (0, 0, s), (8, w1, C))
+        return ops.add(acc, chunk_sums(lo, hi))
+
+    acc = jax.lax.fori_loop(0, n // C, body, jnp.zeros((8, 2), jnp.uint32))
+    return _psum_mod(acc)
+
+
+def _folds_body_big(d_lo, d_hi, c_lo, c_hi, tw, r_limbs, half_limbs, C: int):
+    """Chunked local folds: window loops with dynamic_update_slice so the
+    live set is input + output + one chunk's temporaries (the GSPMD
+    partitioning of the equivalent global fori_loop replicates outputs
+    and gathers slices - measured ~13.4 GiB/device at 2 devices/2^24)."""
+    w1 = d_lo.shape[1]
+    nd = d_lo.shape[-1]
+    nc = c_lo.shape[-1]
+
+    def dbody(i, out):
+        s = i * C
+        lo = jax.lax.dynamic_slice(d_lo, (0, 0, s), (8, w1, C))
+        hi = jax.lax.dynamic_slice(d_hi, (0, 0, s), (8, w1, C))
+        diff = ops.sub(hi, lo)
+        rb = ops.broadcast_scalar(r_limbs, diff.shape[1:])
+        return jax.lax.dynamic_update_slice(
+            out, ops.add(lo, _local_mul(rb, diff)), (0, 0, s)
+        )
+
+    new_data = jax.lax.fori_loop(
+        0, nd // C, dbody, jnp.zeros((8, w1, nd), jnp.uint32)
+    )
+
+    def cbody(i, out):
+        s = i * C
+        a = jax.lax.dynamic_slice(c_lo, (0, s), (8, C))
+        b = jax.lax.dynamic_slice(c_hi, (0, s), (8, C))
+        t = jax.lax.dynamic_slice(tw, (0, s), (8, C))
+        even = ops.add(a, b)
+        odd = _local_mul(ops.sub(a, b), t)
+        rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
+        hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
+        nxt = _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+        return jax.lax.dynamic_update_slice(out, nxt, (0, s))
+
+    new_code = jax.lax.fori_loop(
+        0, nc // C, cbody, jnp.zeros((8, nc), jnp.uint32)
+    )
+    return new_data, new_code
+
+
+def _commit_body_big(n_lo, n_hi, C: int):
+    """Chunked local leaf hashing, then the (already small) subtree."""
+    q = n_lo.shape[-1]
+
+    def body(i, out):
+        s = i * C
+        lo = jax.lax.dynamic_slice(n_lo, (0, s), (8, C))
+        hi = jax.lax.dynamic_slice(n_hi, (0, s), (8, C))
+        words = jnp.concatenate([limbs_to_words(lo), limbs_to_words(hi)], axis=0)
+        return jax.lax.dynamic_update_slice(out, _local_sha256(words, 8), (0, s))
+
+    cur = jax.lax.fori_loop(0, q // C, body, jnp.zeros((8, q), jnp.uint32))
+    levels = [cur]
+    while cur.shape[1] > 1:
+        pairs = cur.reshape(8, cur.shape[1] // 2, 2)
+        msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        cur = _local_sha256(msg, 16)
+        levels.append(cur)
+    return tuple(levels)
+
+
 _ROUND_CACHE = {}
 
 
-def make_pcs_round(mesh):
-    """Jitted full-round program for ``mesh`` (cached per mesh).
+def make_pcs_round(mesh, chunk: int = None):
+    """Jitted full-round program for ``mesh`` (cached per (mesh, chunk)).
 
     Same signature, outputs, and transcript bytes as pcs._pcs_round_body;
     requires data-half and codeword-quarter lengths divisible by mesh.size
     (pcs._device_rounds checks before dispatching).
+
+    ``chunk``: None fuses each local body (the default while per-device
+    shapes fit the program budget); an int C runs the local bodies as
+    C-windowed fori_loops - the OVERSIZED multi-chip round, whose live
+    set per device stays input + output + one chunk (the GSPMD chunked
+    round replicates its outputs instead; tests/test_sharding_scale.py).
+    Bit-identical either way.
     """
-    if mesh in _ROUND_CACHE:
-        return _ROUND_CACHE[mesh]
+    key = (mesh, chunk)
+    if key in _ROUND_CACHE:
+        return _ROUND_CACHE[key]
+
+    if chunk is None:
+        psums_body, folds_body, commit_body = (
+            _psums_body, _folds_body, _commit_body,
+        )
+    else:
+        psums_body = partial(_psums_body_big, C=chunk)
+        folds_body = partial(_folds_body_big, C=chunk)
+        commit_body = partial(_commit_body_big, C=chunk)
 
     shard3, shard2, rep = P(None, None, ROWS), P(None, ROWS), P()
     psums = jax.shard_map(
-        _psums_body, mesh=mesh, in_specs=(shard3, shard3), out_specs=rep,
+        psums_body, mesh=mesh, in_specs=(shard3, shard3), out_specs=rep,
         check_vma=False,
     )
     folds = jax.shard_map(
-        _folds_body, mesh=mesh,
+        folds_body, mesh=mesh,
         in_specs=(shard3, shard3, shard2, shard2, shard2, rep, rep),
         out_specs=(shard3, shard2),
         check_vma=False,
     )
     commit = jax.shard_map(
-        _commit_body, mesh=mesh, in_specs=(shard2, shard2),
+        commit_body, mesh=mesh, in_specs=(shard2, shard2),
         out_specs=P(None, ROWS), check_vma=False,
     )
 
@@ -166,7 +273,7 @@ def make_pcs_round(mesh):
         tr = dtr.absorb_words(tr, layers[-1][:, 0])
         return new_data, nxt, pairs_arr, tuple(layers), tr, (r, c1, c2, new_prev)
 
-    _ROUND_CACHE[mesh] = rnd
+    _ROUND_CACHE[key] = rnd
     return rnd
 
 

@@ -239,6 +239,7 @@ def _device_rounds(
             D = mesh.size if mesh is not None else 0
             d_off = tables.data.shape[-1] // 2
             q = half // 2
+            rnd = None
             if (
                 mesh is not None
                 and q >= D
@@ -246,15 +247,29 @@ def _device_rounds(
                 and d_off >= D
                 and d_off % D == 0
                 and half % D == 0
-                and m // D <= cfg.fused_round_max_code
             ):
-                new_data, nxt, pairs, layers, tr_state, meta = make_pcs_round(
-                    mesh
-                )(
+                if m // D <= cfg.fused_round_max_code:
+                    rnd, counter = make_pcs_round(mesh), "rounds_shard_map"
+                else:
+                    # per-device shapes exceed the fused program budget:
+                    # the chunked shard_map round (C-windowed local
+                    # fori_loops, bounded live set, outputs stay sharded)
+                    C = cfg.kernel_chunk
+                    if (
+                        cfg.stream_oversized
+                        and d_off // D >= C
+                        and (d_off // D) % C == 0
+                        and (half // D) % C == 0
+                        and (q // D) % C == 0
+                    ):
+                        rnd = make_pcs_round(mesh, C)
+                        counter = "rounds_shard_map_oversized"
+            if rnd is not None:
+                new_data, nxt, pairs, layers, tr_state, meta = rnd(
                     tables.data, fri_data._current, inv_pows, tr_state, prev,
                     start_k + k,
                 )
-                stats.bump("rounds_shard_map")
+                stats.bump(counter)
                 tables.apply_folded(new_data)
                 fri_data._current = nxt
                 fri_data.trees.append(MerkleTree(list(layers), pairs))

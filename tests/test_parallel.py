@@ -107,6 +107,36 @@ def test_full_pcs_proof_identical_under_sharding(mesh):
     proof_sharded.verify(Transcript())
 
 
+def test_sharded_prove_chunked_oversized_round(mesh):
+    """The CHUNKED shard_map round (per-device shapes over the fused
+    program budget -> C-windowed local fori_loops) is byte-identical to
+    the host reference.  Tiny budget/chunk knobs force the first round
+    through it; later (smaller) rounds take the plain shard_map round."""
+    n_vars = 9
+    evals_host = [Fp(i * 5 + 11) for i in range(1 << n_vars)]
+    dev = jnp.asarray(limbs.pack_ints(evals_host))
+    inputs = [Fp(i + 1) for i in range(n_vars)]
+    output = evaluate_evals_host(dev, inputs)
+
+    ref = PCSProof.prove(inputs, output, dev, Transcript())
+    sharded = shard_hypercube(dev, mesh)
+    old = get_config()
+    stats.reset()
+    try:
+        set_config(
+            ProverConfig(
+                host_threshold=16, fused_round_max_code=64, kernel_chunk=16
+            )
+        )
+        got = PCSProof.prove(inputs, output, sharded, Transcript())
+    finally:
+        set_config(old)
+    assert stats.get("rounds_shard_map_oversized") >= 1, stats.counters
+    assert stats.get("rounds_shard_map") >= 1, stats.counters
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
+    got.verify(Transcript())
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -115,20 +115,44 @@ def test_gspmd_streamed_round_fits_2_devices_at_2pow23(mesh2):
 
 
 @pytest.mark.slow
-def test_oversized_chunked_round_fits_2_devices_at_2pow24(mesh2):
-    """The chunked oversized round (the 2-device path at 2^24, since
-    m/device > fused_round_max_code) at full shape.
+def test_chunked_shard_map_round_fits_2_devices_at_2pow24(mesh2):
+    """The chunked shard_map round - the round the prover actually
+    dispatches at 2 devices/2^24 (per-device codeword over the fused
+    budget): local C-windowed fori_loops keep the live set bounded and
+    the outputs sharded, unlike the GSPMD chunked round below."""
+    from multilinear_tpu.parallel.sharded_rounds import make_pcs_round
 
-    Measured reality (this is the documentation of record): the GSPMD
-    partitioning of the fori_loop/dynamic_slice chunk walk REPLICATES the
-    round outputs (~2 GiB/device at any mesh size) and peaks at ~13.4 GiB
-    per device on 2 devices - it FITS the 16 GB v5e HBM, with thin
-    headroom.  At 4+ devices the per-device codeword drops to
-    fused_round_max_code and pcs._device_rounds routes to the shard_map
-    round instead, whose outputs stay sharded (256 MiB/device at 8
-    devices, asserted above) - so the tight configuration is exactly and
-    only the 2-device 2^24 round, and this test pins that it stays under
-    the physical budget."""
+    args = _round_args(mesh2, LOG_N)
+    compiled = make_pcs_round(mesh2, 1 << 22).lower(*args, 0).compile()
+    # measured here: arg 1280 MiB (= global/2, sharded), out 1024 MiB
+    # (sharded - the GSPMD round replicates ~2 GiB/dev), temp ~7.7 GiB
+    # with alias=0 because XLA:CPU ignores buffer donation; on TPU the
+    # donated data/code inputs alias the fold outputs, so this is an
+    # upper bound.  Budget 12 GiB = comfortably under HBM AND strictly
+    # tighter than the GSPMD fallback's measured 13.4 GiB.
+    arg, peak = _assert_memory(
+        compiled, mesh2, _global_arg_bytes(args), budget=12 * 1024**3
+    )
+    out_sh = jax.tree.leaves(compiled.output_shardings)
+    for s in out_sh[:2]:  # new_data, nxt
+        assert not s.is_fully_replicated, "big outputs were replicated"
+    print(f"2-dev chunked-shard_map per-device arg={arg>>20} MiB peak={peak>>20} MiB")
+
+
+@pytest.mark.slow
+def test_oversized_chunked_round_fits_2_devices_at_2pow24(mesh2):
+    """The GSPMD chunked oversized round at 2^24 under 2 devices - now
+    only the FALLBACK (non-divisible shapes / shard_map_rounds=False);
+    the prover's primary 2-device 2^24 path is the chunked shard_map
+    round above.
+
+    Measured reality (documentation of record): the GSPMD partitioning
+    of the fori_loop/dynamic_slice chunk walk REPLICATES the round
+    outputs (~2 GiB/device at any mesh size) and peaks at ~13.4 GiB per
+    device on 2 devices - it FITS the 16 GB v5e HBM, with thin headroom.
+    This measured blow-up is exactly why the chunked shard_map round
+    exists; this test pins that the fallback still fits the physical
+    budget."""
     from multilinear_tpu.pcs import _device_pcs_round_big
 
     args = _round_args(mesh2, LOG_N)
