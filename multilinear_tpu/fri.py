@@ -241,12 +241,35 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
     while True:
         m = data._current.shape[-1]
         half = m // 2
-        if m > get_config().fused_round_max_code:
-            break
         if not (half > blowup and half > HOST_THRESHOLD()):
             break
         k = data._log_domain - (m.bit_length() - 1)
         quarter = half // 2
+        # multi-chip fast path: shard_map round with per-shard local
+        # kernels (parallel/sharded_rounds.py), exactly as the PCS rounds
+        if get_config().shard_map_rounds is not False:
+            from . import stats
+            from .parallel.sharded_rounds import make_fri_round, mesh_of
+
+            mesh = mesh_of(data._current)
+            D = mesh.size if mesh is not None else 0
+            if (
+                mesh is not None
+                and quarter >= D
+                and quarter % D == 0
+                and half % D == 0
+                and m // D <= get_config().fused_round_max_code
+            ):
+                nxt, pairs, layers, tr_state = make_fri_round(mesh)(
+                    data._current, inv_pows, tr_state, k
+                )
+                stats.bump("fri_rounds_shard_map")
+                data._current = nxt
+                data.trees.append(MerkleTree(list(layers), pairs))
+                done += 1
+                continue
+        if m > get_config().fused_round_max_code:
+            break
         if (
             get_config().stream_round_pairs
             and half <= get_config().fused_round_max_code

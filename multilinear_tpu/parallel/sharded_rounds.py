@@ -74,17 +74,21 @@ def _psums_body(d_lo, d_hi):
     return _psum_mod(jnp.stack(sums, axis=1))
 
 
+def _code_fold_body(c_lo, c_hi, tw, r_limbs, half_limbs):
+    """Local FRI fold: ((a+b) + r*(a-b)*tw) / 2."""
+    even = ops.add(c_lo, c_hi)
+    odd = _local_mul(ops.sub(c_lo, c_hi), tw)
+    rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
+    hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
+    return _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+
+
 def _folds_body(d_lo, d_hi, c_lo, c_hi, tw, r_limbs, half_limbs):
     """Local table fold (lo + r*(hi-lo)) + FRI fold (((a+b)+r*(a-b)*tw)/2)."""
     diff = ops.sub(d_hi, d_lo)
     rb = ops.broadcast_scalar(r_limbs, diff.shape[1:])
     new_data = ops.add(d_lo, _local_mul(rb, diff))
-
-    even = ops.add(c_lo, c_hi)
-    odd = _local_mul(ops.sub(c_lo, c_hi), tw)
-    rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-    hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    new_code = _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+    new_code = _code_fold_body(c_lo, c_hi, tw, r_limbs, half_limbs)
     return new_data, new_code
 
 
@@ -272,6 +276,53 @@ def make_pcs_round(mesh, chunk: int = None):
         pairs_arr = nxt.reshape(8, 2, q)
         tr = dtr.absorb_words(tr, layers[-1][:, 0])
         return new_data, nxt, pairs_arr, tuple(layers), tr, (r, c1, c2, new_prev)
+
+    _ROUND_CACHE[key] = rnd
+    return rnd
+
+
+def make_fri_round(mesh):
+    """Jitted standalone-FRI round for ``mesh`` (cached per mesh).
+
+    Same outputs and transcript bytes as fri._device_fri_round (challenge
+    from the on-device transcript, fold, commit, absorb root), with the
+    fold and the Merkle leaf/subtree hashing in shard_map local bodies.
+    """
+    key = (mesh, "fri")
+    if key in _ROUND_CACHE:
+        return _ROUND_CACHE[key]
+
+    shard2, rep = P(None, ROWS), P()
+    folds = jax.shard_map(
+        _code_fold_body, mesh=mesh,
+        in_specs=(shard2, shard2, shard2, rep, rep), out_specs=shard2,
+        check_vma=False,
+    )
+    commit = jax.shard_map(
+        _commit_body, mesh=mesh, in_specs=(shard2, shard2),
+        out_specs=P(None, ROWS), check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def rnd(code, inv_pows, tr_state, k: int):
+        from .. import device_transcript as dtr
+
+        r = dtr.challenge(tr_state)
+        half = code.shape[-1] // 2
+        half_limbs = jnp.asarray(limbs.pack_scalar(TWO_INV))
+        tw = inv_pows[:, :: 1 << k][:, :half]
+        nxt = folds(code[..., :half], code[..., half:], tw, r, half_limbs)
+        q = half // 2
+        layers = list(commit(nxt[:, :q], nxt[:, q:]))
+        cur = layers[-1]
+        while cur.shape[1] > 1:
+            pairs = cur.reshape(8, cur.shape[1] // 2, 2)
+            msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+            cur = sha256_words(msg, 16)
+            layers.append(cur)
+        pairs_arr = nxt.reshape(8, 2, q)
+        tr = dtr.absorb_words(tr_state, layers[-1][:, 0])
+        return nxt, pairs_arr, tuple(layers), tr
 
     _ROUND_CACHE[key] = rnd
     return rnd

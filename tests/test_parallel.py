@@ -137,6 +137,31 @@ def test_sharded_prove_chunked_oversized_round(mesh):
     got.verify(Transcript())
 
 
+def test_standalone_fri_identical_under_sharding(mesh):
+    """Plain FRI proving from a sharded codeword through the shard_map
+    rounds is byte-identical to the host-path prove."""
+    from multilinear_tpu.fri import FriProof
+    from multilinear_tpu.ntt import reed_solomon
+    from multilinear_tpu.serialize import fri_proof_to_bytes
+
+    log_n = 9
+    vals = np.arange(1 << log_n, dtype=np.uint64) * 3 + 1
+    code = reed_solomon(jnp.asarray(limbs.pack_ints(vals)))
+    ref = FriProof.prove(code, Transcript())  # host path at this size
+
+    sharded = shard_hypercube(code, mesh)
+    old = get_config()
+    stats.reset()
+    try:
+        set_config(ProverConfig(host_threshold=16))
+        got = FriProof.prove(sharded, Transcript())
+    finally:
+        set_config(old)
+    assert stats.get("fri_rounds_shard_map") > 0, stats.counters
+    assert fri_proof_to_bytes(got) == fri_proof_to_bytes(ref)
+    got.verify()
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
