@@ -21,6 +21,7 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
+from .config import get_config
 from .field.scalar import Fp
 from .fri import FriProverData
 from .merkle import FieldHostTree, MerkleTree
@@ -123,6 +124,8 @@ def load_pcs_state(path: str):
         tables.data = jnp.asarray(z["sc_data"])
         tables.width = width
         tables.height = height
+        # checkpointed tables are PCS-session state: the PCS crossover
+        tables.host_threshold = get_config().host_threshold
         tables.host_matrix = None
         tables.host_delta = None
 

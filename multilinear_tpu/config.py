@@ -70,12 +70,40 @@ class ProverConfig:
     # dispatches whenever legal.  Bit-identical either way (pinned by
     # tests/test_parallel.py).
     shard_map_rounds: Optional[bool] = None
+    # Host-tail crossover for STANDALONE/trace sumcheck tables
+    # (SumcheckTables.for_trace - the constraint-system / SNARK sumcheck).
+    # Unlike the PCS tail (native C++ identity partial sums, fast), the
+    # general-composition host tail evaluates arbitrary Python constraint
+    # callables row by row: ~0.2 s per prove at the default 4096 threshold
+    # (tools/sumcheck_probe.py) - the reference C++ baseline's ENTIRE
+    # budget at 2^20 (sumcheck.rs:367-398).  Streamed device rounds cost
+    # one async dispatch each, so on TPU the right answer is to stream
+    # essentially to the bottom.  None = auto: 2 on a TPU backend, fall
+    # back to host_threshold elsewhere (CPU test meshes would pay a fresh
+    # fused-round XLA compile per halved shape per composition).
+    # Transcripts are identical either way (pinned by tests).
+    sc_host_threshold: Optional[int] = None
     # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
     # SURVEY.md section 5): when True, protocol-boundary kernels attach a
     # host callback asserting every field element is canonical (16-bit
     # limbs, value < p).  Read at TRACE time like use_pallas - set it
     # before the first call of each shape.  Large overhead; tests only.
     debug_checks: bool = False
+
+
+def sc_host_threshold_value() -> int:
+    """Resolve the trace-sumcheck host-tail crossover (see the field doc)."""
+    cfg = get_config()
+    if cfg.sc_host_threshold is not None:
+        return cfg.sc_host_threshold
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            return 2
+    except Exception:
+        pass
+    return cfg.host_threshold
 
 
 def pallas_enabled() -> bool:

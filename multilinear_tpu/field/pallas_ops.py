@@ -443,7 +443,9 @@ def butterfly_notw(u, v):
 def _twiddle_mul3_kernel(f_ref, tc_ref, tf_ref, o_ref):
     fl = [f_ref[i] for i in range(NLIMBS)]
     shape = fl[0].shape
-    tcl = [jnp.broadcast_to(tc_ref[i], shape) for i in range(NLIMBS)]
+    # tc_ref blocks are (1, 1, 128) per limb (see tc_spec): squeeze the
+    # unit row axis, then broadcast the shared coarse twiddle over the block
+    tcl = [jnp.broadcast_to(tc_ref[i, 0], shape) for i in range(NLIMBS)]
     tfl = [tf_ref[i] for i in range(NLIMBS)]
     out = _mul_limbs(_mul_limbs(fl, tcl), tfl)
     for i in range(NLIMBS):
@@ -461,8 +463,15 @@ def _twiddle_mul3_flat(F, Tc, Tf, S: int):
     f_spec = pl.BlockSpec(
         (NLIMBS, _BF_R, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
+    # Mosaic requires each block's LAST TWO dims to be (multiples of 8, 128)
+    # or exactly the array dims.  A (1, 128) row-slice of the (A/S, B) coarse
+    # table violates the sublane rule whenever A/S > 1, so Tc is lifted to
+    # (8, A/S, 1, B): the unit axis becomes the block's sublane dim and the
+    # row selection i // d_blocks moves to a leading (unconstrained) axis.
     tc_spec = pl.BlockSpec(
-        (NLIMBS, 1, 128), lambda i, j: (0, i // d_blocks, j), memory_space=pltpu.VMEM
+        (NLIMBS, 1, 1, 128),
+        lambda i, j: (0, i // d_blocks, 0, j),
+        memory_space=pltpu.VMEM,
     )
     tf_spec = pl.BlockSpec(
         (NLIMBS, _BF_R, 128), lambda i, j: (0, i % d_blocks, j),
@@ -474,7 +483,7 @@ def _twiddle_mul3_flat(F, Tc, Tf, S: int):
         grid=grid,
         in_specs=[f_spec, tc_spec, tf_spec],
         out_specs=f_spec,
-    )(F, Tc, Tf)
+    )(F, Tc.reshape(NLIMBS, A // S, 1, B), Tf)
 
 
 def twiddle3_supported(A: int, S: int, B: int) -> bool:

@@ -406,7 +406,7 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     # a per-(composition, shape) compile that large.
     while (
         not tables.on_host
-        and HOST_THRESHOLD() < tables.height <= get_config().fused_round_max_code
+        and tables.host_threshold < tables.height <= get_config().fused_round_max_code
         and tables.height > 1
     ):
         new_data, tr_state, meta = _device_sc_round(
@@ -417,6 +417,9 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
         metas.append(meta)
     if not metas:
         return 0, [], [], previous_sum
+    from . import stats
+
+    stats.bump("sc_rounds_streamed", len(metas))
     metas_h, tr_h, prev_h = device_get_tree((metas, tr_state, prev))
     pols = []
     randoms = []
@@ -465,10 +468,16 @@ class SumcheckTables:
     column-major Python int lists.
     """
 
-    def __init__(self, data, width: int, height: int):
+    def __init__(self, data, width: int, height: int, host_threshold: int = None):
         self.data = data  # device (8, w+1, h) or None
         self.width = width
         self.height = height
+        # captured at construction (tests swap config around whole proves);
+        # for_trace tables stream deeper than PCS tables - their host tail
+        # is a Python composition loop, not the native identity kernel.
+        self.host_threshold = (
+            HOST_THRESHOLD() if host_threshold is None else host_threshold
+        )
         self.host_matrix = None  # list of w column lists of ints
         self.host_delta = None  # list of ints
         self._maybe_to_host()
@@ -478,7 +487,7 @@ class SumcheckTables:
         return self.host_matrix is not None
 
     def _maybe_to_host(self) -> None:
-        if self.host_matrix is not None or self.height > HOST_THRESHOLD():
+        if self.host_matrix is not None or self.height > self.host_threshold:
             return
         raw = limbs.to_le_bytes(fetch(self.data))
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(self.width + 1, self.height, 16)
@@ -498,6 +507,7 @@ class SumcheckTables:
         t.data = None
         t.width = width
         t.height = height
+        t.host_threshold = HOST_THRESHOLD()
         t.host_matrix = [conv(c) for c in matrix_cols]
         t.host_delta = conv(delta_ints)
         return t
@@ -530,16 +540,19 @@ class SumcheckTables:
         delta[i] = eq(row_challenges, bits(i)) (reference build_tables,
         sumcheck.rs:22-38).
         """
+        from .config import sc_host_threshold_value
+
         _, width, height = trace_columns.shape
         assert 1 << len(row_challenges) == height
-        if height <= HOST_THRESHOLD():
+        thresh = sc_host_threshold_value()
+        if height <= thresh:
             m = limbs.unpack_ints(fetch(trace_columns))
             cols = [[int(v) for v in m[j]] for j in range(width)]
             return SumcheckTables._host_from_ints(
                 cols, _host_delta_table(row_challenges), width, height
             )
         data = _pack_tables_kernel(trace_columns, delta_subtables(row_challenges))
-        return SumcheckTables(data, width, height)
+        return SumcheckTables(data, width, height, host_threshold=thresh)
 
     # -- one round ----------------------------------------------------------
     def round_poly(
@@ -558,17 +571,22 @@ class SumcheckTables:
         Callers that interleave FRI (the PCS) fuse the fold with the FRI
         fold+commit into one device dispatch.
         """
+        from . import stats
+
         if self.on_host:
+            stats.bump("sc_rounds_host")
             sums = self._partial_sums_host(composition, total_degree, aux)
         else:
             from .config import get_config
 
             aux_limbs = _aux_limbs_arr(aux)
             if self.height > get_config().fused_round_max_code:
+                stats.bump("sc_rounds_chunked_hostdriven")
                 sums = _chunked_partial_sums(
                     self.data, aux_limbs, total_degree, composition
                 )
             else:
+                stats.bump("sc_rounds_hostdriven")
                 sums_dev = _partial_sums_kernel(
                     self.data, aux_limbs, total_degree, composition
                 )

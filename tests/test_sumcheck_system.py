@@ -181,10 +181,25 @@ def test_streaming_device_sumcheck_rounds_bit_identical():
         ref_pols, ref_rs, ref_state = run()
         set_config(ProverConfig(host_threshold=16))  # streaming device rounds
         got_pols, got_rs, got_state = run()
+        # the TPU-default deep tail: stream EVERY round on device (the host
+        # tail is a Python composition loop, ~0.2 s/prove at threshold 4096
+        # - see config.sc_host_threshold); must stay byte-identical
+        from multilinear_tpu import stats
+
+        set_config(ProverConfig(host_threshold=1 << 12, sc_host_threshold=2))
+        stats.reset()
+        deep_pols, deep_rs, deep_state = run()
+        assert stats.get("sc_rounds_streamed") == log_h - 1  # down to h=2
+        assert stats.get("sc_rounds_host") == 1  # the final h=2 round
     finally:
         set_config(old)
     assert got_state == ref_state
     assert got_rs == ref_rs
     assert [p.nonzero_coeffs for p in got_pols] == [
+        p.nonzero_coeffs for p in ref_pols
+    ]
+    assert deep_state == ref_state
+    assert deep_rs == ref_rs
+    assert [p.nonzero_coeffs for p in deep_pols] == [
         p.nonzero_coeffs for p in ref_pols
     ]
