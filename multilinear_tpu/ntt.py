@@ -25,7 +25,7 @@ so a stack of B codewords transforms in one pass (used by the batched PCS).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,38 @@ from .mle import _product_table, bit_reverse
 LOG_BLOWUP = 1  # Reed-Solomon rate 1/2 (reference src/fri/mod.rs:16)
 
 
-@lru_cache(maxsize=48)
+def _tracer_safe_cache(maxsize: int):
+    """Size-keyed memoizer for device-constant tables that is safe to hit
+    INSIDE a jax trace.  lru_cache would store the staged (tracer) result
+    and poison every later call in the process (a user jitting around
+    ntt()/delta_table() hit exactly this via tools/roofline.py); here a
+    result containing tracers is returned uncached, while concrete device
+    arrays computed eagerly are memoized as before."""
+
+    def deco(fn):
+        cache: dict = {}
+
+        def wrapper(*key):
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+            out = fn(*key)
+            if not any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree_util.tree_leaves(out)
+            ):
+                if len(cache) >= maxsize:
+                    cache.pop(next(iter(cache)))
+                cache[key] = out
+            return out
+
+        wrapper.cache_clear = cache.clear
+        return wrapper
+
+    return deco
+
+
+@_tracer_safe_cache(maxsize=48)
 def _pow_table(gen_v: int, log_size: int):
     """Device array (8, 2^log_size) of [1, g, g^2, ...].
 
@@ -220,7 +251,7 @@ def _build_twiddle_factors(pows, log_n: int, split: int):
     return factor(A // S, S), factor(S, 1)
 
 
-@lru_cache(maxsize=32)
+@_tracer_safe_cache(maxsize=32)
 def _twiddle_factors_cached(gen_v: int, log_n: int):
     a = (log_n + 1) // 2
     split = a // 2  # balances the two factor sizes at ~sqrt(A)*B each

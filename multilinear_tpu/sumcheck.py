@@ -372,9 +372,12 @@ def _sc_round_body(data, tr_state, prev, vinv, aux_limbs, total_degree: int, com
     return new_data, tr, (r, jnp.stack(coeffs[1:], axis=0), new_prev)
 
 
-_device_sc_round = partial(jax.jit, donate_argnums=(0,), static_argnums=(5, 6))(
-    _sc_round_body
-)
+# NOT donated: every output of the round is strictly smaller than the
+# (8, w+1, h) input (the fold halves it), so XLA can never alias the
+# donation and warned "donated buffers were not usable" on every shape;
+# the old table's buffer is released by apply_folded dropping the last
+# Python reference right after dispatch.
+_device_sc_round = partial(jax.jit, static_argnums=(5, 6))(_sc_round_body)
 
 
 def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition, aux=None):
