@@ -83,6 +83,17 @@ class ProverConfig:
     # fused-round XLA compile per halved shape per composition).
     # Transcripts are identical either way (pinned by tests).
     sc_host_threshold: Optional[int] = None
+    # Standalone-sumcheck SCAN TAIL: once the (folded) table height is at
+    # or below this, ALL remaining rounds run as ONE lax.scan device
+    # program at fixed shape (sumcheck._sc_scan_tail) instead of one
+    # dispatch per halved shape - per-dispatch tunnel latency (~9 ms) is
+    # the entire tail cost otherwise (tools/sumcheck_probe.py).  The scan
+    # body embeds the composition once, so it compiles like a single
+    # round (the round-PAIR fusion that embedded it twice blew up XLA
+    # compile time and was dropped in round 2).  0 disables.  The fixed
+    # shape costs O(h0) per round; at 2^16 the whole scan is a few ms.
+    # Byte-identical to the per-round and host paths (pinned by tests).
+    sc_scan_tail_height: int = 1 << 16
     # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
     # SURVEY.md section 5): when True, protocol-boundary kernels attach a
     # host callback asserting every field element is canonical (16-bit

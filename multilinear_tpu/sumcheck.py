@@ -380,6 +380,143 @@ def _sc_round_body(data, tr_state, prev, vinv, aux_limbs, total_degree: int, com
 _device_sc_round = partial(jax.jit, static_argnums=(5, 6))(_sc_round_body)
 
 
+@partial(jax.jit, static_argnums=(6, 7))
+def _sc_scan_tail(data, tr_state, prev, vinv, aux_limbs, halfs, total_degree: int, composition):
+    """ALL remaining standalone-sumcheck rounds as ONE device program.
+
+    The streamed per-round path costs one dispatch per halved shape; over
+    the tunnel that dispatch latency (~9 ms) dwarfs the tail rounds'
+    compute (tools/sumcheck_probe.py: 19 dispatches = 0.167 s of a 0.197 s
+    prove at 2^20).  Round-PAIR fusion was rejected in round 2 because
+    embedding the user composition twice made XLA compile time explode;
+    a ``lax.scan`` embeds it ONCE at a fixed shape instead:
+
+    * the (8, w+1, h0) table keeps its entry shape through every round;
+      the active prefix halves each iteration (``halfs`` = h0/2, h0/4...),
+    * ``hi`` is a dynamic_slice at the traced active half; lanes at or
+      beyond the active half are masked to zero in the delta extension
+      (so they add exact zeros to the partial sums - mod-p addition is
+      order-independent and exact) and in the fold output (so the zero
+      tail is maintained for the next iteration),
+    * Fiat-Shamir (absorb coefficients, draw r), V^{-1} interpolation and
+      the telescoped next sum run on device exactly as _sc_round_body.
+
+    Per-iteration compute is O(h0) instead of O(h0 >> i) - the fixed-shape
+    overhead is bounded by entering the scan only at h0 <=
+    config.sc_scan_tail_height (~2^16: the whole scan is a few ms).
+    Byte-identical to the host path (pinned by tests).
+    """
+    from . import device_transcript as dtr
+
+    w = data.shape[1] - 1
+    lanes = data.shape[-1] // 2
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (lanes,), 0)
+
+    def body(carry, half):
+        data, tr, prev = carry
+        active = pos < half.astype(jnp.uint32)
+        lo = data[..., :lanes]
+        hi = jax.lax.dynamic_slice(
+            data, (0, 0, half), (8, w + 1, lanes)
+        )
+        exts = _extensions_pair(lo, hi, total_degree)
+        if composition is identity_composition:
+            dx = jnp.stack(
+                [jnp.where(active, e[:, w], jnp.uint32(0)) for e in exts], axis=1
+            )
+            mx = jnp.stack([e[:, 0] for e in exts], axis=1)
+            sums = ops.sum_mod(ops.mul(dx, mx), axis=2)
+        else:
+            outs = []
+            for e in exts:
+                dx = jnp.where(active, e[:, w], jnp.uint32(0))
+                cols = [ops.FA(e[:, j]) for j in range(w)]
+                comp = _call_comp(
+                    composition, cols, _aux_fas(aux_limbs, dx.shape[1:])
+                )
+                carr = comp.a if isinstance(comp, ops.FA) else ops.broadcast_scalar(
+                    limbs.pack_scalar(comp), dx.shape[1:]
+                )
+                outs.append(ops.sum_mod(ops.mul(dx, carr), axis=1))
+            sums = jnp.stack(outs, axis=1)
+        s0 = ops.sub(prev.reshape(8, 1), sums[:, 0].reshape(8, 1))[:, 0]
+        evals = [s0] + [sums[:, i] for i in range(total_degree)]
+        coeffs = []
+        for j in range(total_degree + 1):
+            acc = None
+            for i in range(total_degree + 1):
+                term = ops.mul(vinv[j, i].reshape(8, 1), evals[i].reshape(8, 1))
+                acc = term if acc is None else ops.add(acc, term)
+            coeffs.append(acc[:, 0])
+        for c in coeffs[1:]:
+            tr = dtr.absorb_field_limbs(tr, c)
+        r = dtr.challenge(tr)
+        rr = r.reshape(8, 1)
+        acc = coeffs[-1].reshape(8, 1)
+        for c in reversed(coeffs[:-1]):
+            acc = ops.add(ops.mul(acc, rr), c.reshape(8, 1))
+        new_prev = acc[:, 0]
+        folded = _lin_ext(lo, hi, r)
+        folded = jnp.where(active, folded, jnp.uint32(0))
+        data = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=-1)
+        return (data, tr, new_prev), (r, jnp.stack(coeffs[1:], axis=0))
+
+    (data, tr_state, prev), ys = jax.lax.scan(
+        body, (data, tr_state, prev), halfs
+    )
+    return data, tr_state, prev, ys
+
+
+def _device_sc_scan_tail(tables, transcript, previous_sum, total_degree, composition, aux=None):
+    """Dispatch the scan-tail program when the whole remaining table fits.
+
+    Returns (rounds_done, pols, randoms, new_previous_sum) exactly like
+    _device_sc_rounds; 0 rounds when the tail is not scannable (host
+    tables, oversized, disabled, or a non-word-aligned transcript)."""
+    from . import device_transcript as dtr
+    from .config import get_config
+
+    cfg = get_config()
+    h0 = tables.height
+    if (
+        tables.on_host
+        or h0 < 2
+        or h0 > min(cfg.sc_scan_tail_height, cfg.fused_round_max_code)
+    ):
+        return 0, [], [], previous_sum
+    try:
+        tr_state = dtr.state_from_host(transcript)
+    except ValueError:
+        return 0, [], [], previous_sum
+    from . import stats
+
+    n_rounds = h0.bit_length() - 1
+    halfs = jnp.asarray([h0 >> (i + 1) for i in range(n_rounds)], jnp.int32)
+    vinv = _vandermonde_inv_limbs(total_degree + 1)
+    aux_limbs = _aux_limbs_arr(aux)
+    prev = jnp.asarray(limbs.pack_scalar(previous_sum))
+    data, tr_state, prev, ys = _sc_scan_tail(
+        tables.data, tr_state, prev, vinv, aux_limbs, halfs, total_degree, composition
+    )
+    stats.bump("sc_rounds_scanned", n_rounds)
+    (rs_h, coeffs_h), tr_h, prev_h = device_get_tree((ys, tr_state, prev))
+    pols = []
+    randoms = []
+    for k in range(n_rounds):
+        pols.append(
+            SumcheckPoly(
+                [
+                    Fp(limbs.unpack_int(np.asarray(coeffs_h[k, i])))
+                    for i in range(coeffs_h.shape[1])
+                ]
+            )
+        )
+        randoms.append(Fp(limbs.unpack_int(np.asarray(rs_h[k]))))
+    tables.apply_folded(data[..., :1], levels=n_rounds)
+    transcript._state = dtr.state_to_host(tr_h)._state
+    return n_rounds, pols, randoms, Fp(limbs.unpack_int(np.asarray(prev_h)))
+
+
 def _device_sc_rounds(tables, transcript, previous_sum, total_degree, composition, aux=None):
     """Stream as many standalone-sumcheck rounds as possible on device.
 
@@ -407,9 +544,13 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     # 4-column degree-2 test composition: >12 min, vs seconds for the
     # single round).  The dispatch saving (~tens of ms/proof) cannot repay
     # a per-(composition, shape) compile that large.
+    # stop streaming once the scan tail can take over: everything at or
+    # below sc_scan_tail_height goes in one dispatch instead of one per
+    # halved shape
+    stream_floor = max(tables.host_threshold, get_config().sc_scan_tail_height)
     while (
         not tables.on_host
-        and tables.host_threshold < tables.height <= get_config().fused_round_max_code
+        and stream_floor < tables.height <= get_config().fused_round_max_code
         and tables.height > 1
     ):
         new_data, tr_state, meta = _device_sc_round(
@@ -709,13 +850,18 @@ class SumcheckTables:
         prev = sum_value
         k = 0
         while k < n_rounds:
-            # stream complete rounds on device (zero per-round host sync)
-            # whenever shapes fit the program budget and the table is big
-            # enough to be worth it; host-driven rounds (with chunked
-            # kernels for oversized tables) cover the rest.
-            done, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
+            # the whole remaining tail in ONE device dispatch when it fits
+            # (see _sc_scan_tail); otherwise stream complete rounds on
+            # device (zero per-round host sync) while shapes fit the
+            # program budget; host-driven rounds (with chunked kernels for
+            # oversized tables) cover the rest.
+            done, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
                 self, transcript, prev, total_degree, composition, aux
             )
+            if not done:
+                done, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
+                    self, transcript, prev, total_degree, composition, aux
+                )
             if done:
                 pols.extend(dev_pols)
                 randoms.extend(dev_randoms)

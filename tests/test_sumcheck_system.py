@@ -175,31 +175,44 @@ def test_streaming_device_sumcheck_rounds_bit_identical():
         )
         return pols, randoms, transcript.random()
 
+    from multilinear_tpu import stats
+
     old = get_config()
     try:
         set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
         ref_pols, ref_rs, ref_state = run()
-        set_config(ProverConfig(host_threshold=16))  # streaming device rounds
+        # per-round streamed device rounds (scan tail disabled)
+        set_config(ProverConfig(host_threshold=16, sc_scan_tail_height=0))
         got_pols, got_rs, got_state = run()
         # the TPU-default deep tail: stream EVERY round on device (the host
         # tail is a Python composition loop, ~0.2 s/prove at threshold 4096
         # - see config.sc_host_threshold); must stay byte-identical
-        from multilinear_tpu import stats
-
-        set_config(ProverConfig(host_threshold=1 << 12, sc_host_threshold=2))
+        set_config(
+            ProverConfig(
+                host_threshold=1 << 12, sc_host_threshold=2, sc_scan_tail_height=0
+            )
+        )
         stats.reset()
         deep_pols, deep_rs, deep_state = run()
         assert stats.get("sc_rounds_streamed") == log_h - 1  # down to h=2
         assert stats.get("sc_rounds_host") == 1  # the final h=2 round
+        # the scan tail: ALL rounds in ONE device program (lax.scan at
+        # fixed shape, config.sc_scan_tail_height)
+        set_config(ProverConfig(host_threshold=1 << 12, sc_host_threshold=2))
+        stats.reset()
+        scan_pols, scan_rs, scan_state = run()
+        assert stats.get("sc_rounds_scanned") == log_h
+        assert stats.get("sc_rounds_streamed") == 0
+        assert stats.get("sc_rounds_host") == 0
     finally:
         set_config(old)
-    assert got_state == ref_state
-    assert got_rs == ref_rs
-    assert [p.nonzero_coeffs for p in got_pols] == [
-        p.nonzero_coeffs for p in ref_pols
-    ]
-    assert deep_state == ref_state
-    assert deep_rs == ref_rs
-    assert [p.nonzero_coeffs for p in deep_pols] == [
-        p.nonzero_coeffs for p in ref_pols
-    ]
+    for pols2, rs2, state2 in [
+        (got_pols, got_rs, got_state),
+        (deep_pols, deep_rs, deep_state),
+        (scan_pols, scan_rs, scan_state),
+    ]:
+        assert state2 == ref_state
+        assert rs2 == ref_rs
+        assert [p.nonzero_coeffs for p in pols2] == [
+            p.nonzero_coeffs for p in ref_pols
+        ]
