@@ -218,9 +218,10 @@ def bench_sumcheck(log_n: int):
         11, 60, 61, 71, 16, 63, 65, 79, 33, 56, 65, 89, 48, 55, 73, 103,
         13, 84, 85, 97, 36, 77, 85, 113, 39, 80, 89, 119, 65, 72, 97, 137,
     ]
-    rows = base[:]
-    while len(rows) < (1 << log_n) * 4:
-        rows = rows + rows
+    import numpy as np
+
+    reps = ((1 << log_n) * 4) // len(base)
+    rows = np.tile(np.asarray(base, dtype=np.uint64), max(reps, 1))
     constraints = ConstraintSet(
         constraints=[
             lambda v, r: v[0] * v[0] + v[1] * v[1] - v[2] * v[2],
@@ -234,7 +235,7 @@ def bench_sumcheck(log_n: int):
     # starts with the trace in memory (sumcheck.rs:367-398); the tunnel's
     # ~30 MB/s host->device link is an environment artifact, not part of
     # the prover.
-    trace = Trace(rows, 4)
+    trace = Trace.from_columns([rows[j::4] for j in range(4)])
     trace.columns_device().block_until_ready()
 
     def run():
@@ -292,10 +293,14 @@ def bench_snark(log_n: int):
     )
     from multilinear_tpu.transcript import Transcript
 
-    rows = [(i * 7 + 3) % 97 for i in range(1 << log_n)]
+    import numpy as np
+
+    # device-backed trace: no h Python ints (at 2^24 the row-major host
+    # path would build tens of millions of objects before the first kernel)
+    col = (np.arange(1 << log_n, dtype=np.uint64) * 7 + 3) % 97
     constraints = ConstraintSet(constraints=[lambda v, r: v[0] - v[0]], degree=1)
     layout = WitnessLayout(columns=1)
-    trace = Trace(rows, 1)
+    trace = Trace.from_columns([col])
     trace.columns_device().block_until_ready()
 
     def run():

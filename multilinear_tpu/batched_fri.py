@@ -24,7 +24,15 @@ import numpy as np
 
 from .field import limbs, ops
 from .field.scalar import Fp, TWO_INV, pow2_generator
-from .fri import FriError, FriProverData, NUM_QUERIES, QueryProof, _commit_code, _fold_codeword
+from .fri import (
+    FriError,
+    FriProverData,
+    NUM_QUERIES,
+    QueryProof,
+    _commit_code,
+    _fold_codeword,
+    _layer_inv_gens,
+)
 from .merkle import MerklePath, MerkleTree
 from .ntt import LOG_BLOWUP, inv_gen_pows
 from .transcript import Transcript
@@ -227,10 +235,18 @@ class BatchedQueryProof:
         gen: Fp,
         random_elements: Sequence[Fp],
         fingerprint_r: Fp,
+        inv_gens: Sequence[Fp] = None,
     ) -> None:
-        """Reference BatchedQueryProof::verify (src/fri/batched_fri.rs:227-283)."""
+        """Reference BatchedQueryProof::verify (src/fri/batched_fri.rs:227-283).
+
+        ``inv_gens``: per-layer inverse generators shared across queries
+        (see fri._layer_inv_gens) - replaces the reference's per-layer
+        division (one inversion per query per layer) with the identical
+        value TWO_INV * inv_gen^index."""
         if len(self.query_proof.paths) != len(proof.commitments):
             raise FriError("wrong number of paths")
+        if inv_gens is None:
+            inv_gens = _layer_inv_gens(gen, len(proof.commitments) + 1)
         if not self.batch_path.verify(proof.batch_commitment, index):
             raise FriError("batch inclusion path failed")
         # column layout: [c0_val, c0_minus, c1_val, c1_minus, ...]
@@ -238,9 +254,8 @@ class BatchedQueryProof:
         minus_values = self.batch_path.values[1::2]
         value = fingerprint(fingerprint_r, values)
         minus_value = fingerprint(fingerprint_r, minus_values)
-        gen_pow = gen ** index
         even = (value + minus_value) * TWO_INV
-        odd = (value - minus_value) / (Fp(2) * gen_pow)
+        odd = (value - minus_value) * TWO_INV * (inv_gens[0] ** index)
         folded = even + random_elements[0] * odd
         if not self.query_proof.paths:
             if proof.last_elem != folded:
@@ -259,6 +274,7 @@ class BatchedQueryProof:
             next_index,
             gen * gen,
             random_elements[1:],
+            inv_gens=inv_gens[1:],
         )
 
 
@@ -314,10 +330,14 @@ class BatchedFriProof:
         log_domain_size = len(self.commitments) + 1 + LOG_BLOWUP
         domain_size = 1 << log_domain_size
         gen = pow2_generator(log_domain_size)
+        inv_gens = _layer_inv_gens(gen, len(self.commitments) + 1)
         n = domain_size // 2
         for query in self.queries:
             idx = transcript.random_index(n)
-            query.verify(self, n, idx, gen, random_elements, fingerprint_r)
+            query.verify(
+                self, n, idx, gen, random_elements, fingerprint_r,
+                inv_gens=inv_gens,
+            )
             transcript.absorb_index(idx)
         if self.last_random != transcript.random():
             raise FriError("incompatible last_random transcript fingerprint")

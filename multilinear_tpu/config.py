@@ -91,9 +91,15 @@ class ProverConfig:
     # body embeds the composition once, so it compiles like a single
     # round (the round-PAIR fusion that embedded it twice blew up XLA
     # compile time and was dropped in round 2).  0 disables.  The fixed
-    # shape costs O(h0) per round; at 2^16 the whole scan is a few ms.
-    # Byte-identical to the per-round and host paths (pinned by tests).
-    sc_scan_tail_height: int = 1 << 16
+    # shape costs O(h0) per round: every round the scan absorbs REPLACES
+    # one ~9 ms streamed dispatch with one full fixed-h0 pass, so it wins
+    # only while R*pass(h0) < pass-work-saved + R*dispatch.  MEASURED on
+    # the v5e (bench --metric sumcheck --log-n 20, round 4): h0=2^16 ->
+    # 0.208 s, 2^17 -> 0.248 s, 2^22 -> 0.496 s - pass(2^16) ~ 3 ms vs
+    # ~9 ms dispatch, and doubling h0 doubles every remaining pass.  The
+    # crossover is where pass(h0) ~ dispatch: h0 ~ 2^17; 2^16 keeps slack
+    # for wider tables.  Byte-identical everywhere (pinned).
+    sc_scan_tail_height: Optional[int] = None
     # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
     # SURVEY.md section 5): when True, protocol-boundary kernels attach a
     # host callback asserting every field element is canonical (16-bit
@@ -115,6 +121,14 @@ def sc_host_threshold_value() -> int:
     except Exception:
         pass
     return cfg.host_threshold
+
+
+def sc_scan_tail_value() -> int:
+    """Resolve the standalone-sumcheck scan-tail height (see the field doc)."""
+    cfg = get_config()
+    if cfg.sc_scan_tail_height is not None:
+        return cfg.sc_scan_tail_height
+    return 1 << 16
 
 
 def pallas_enabled() -> bool:

@@ -91,28 +91,60 @@ def _canon_sub_p(limbs):
     return [jnp.where(lt_p, x, d) for x, d in zip(limbs, diff)]
 
 
+# K = 45*2^40 - 1 = 11520*2^32 - 1, so K*x = ((11520*x) << 32) - x: ONE
+# small-constant lane multiply per limb (11520*x_i < 2^30, exact in uint32)
+# instead of the 3L-product schoolbook.
+_K_SHIFT_MUL = np.uint32(11520)  # 45 * 2^8
+
+
 def _mul_k(hi):
     """Multiply a clean limb list (len L) by K (3 limbs); returns L+3 clean limbs.
 
-    Column accumulators stay < 3 * 2^16 < 2^18; tree-merged like `mul`.
+    Computed as (11520*hi) << 32  minus  hi (see _K_SHIFT_MUL): the shifted
+    product A >= hi always, so the subtract chain never underflows, and
+    K*hi < 2^46 * 2^(16L) fits L+3 limbs with zero final carry.
     """
     L = len(hi)
-    k_arrs = [jnp.broadcast_to(k, hi[0].shape) for k in _K]
-    cols = _wide_mul_cols(hi, k_arrs)  # L+3 columns
-    out, carry = _carry_normalize(cols, L + 3)
-    # K*hi < 2^46 * 2^(16L) fits in L+3 limbs; final carry provably 0.
-    return out
+    zero = jnp.zeros_like(hi[0])
+    m = [h * _K_SHIFT_MUL for h in hi]  # each < 2^30
+    cols = []
+    for k in range(L + 3):
+        c = zero
+        if 2 <= k < L + 2:
+            c = c + (m[k - 2] & LIMB_MASK)
+        if 3 <= k < L + 3:
+            c = c + (m[k - 3] >> 16)
+        cols.append(c)
+    a, _ca = _carry_normalize(cols, L + 3)  # A < 2^(16L+46): carry 0
+    d, _borrow = _sub_chain(a, hi + [zero] * 3)  # A >= hi: borrow 0
+    return d
 
 
 def _fold_ge8(t):
-    """Fold a clean limb list of length > 8 once: t[:8] + K * t[8:]."""
+    """Fold a clean limb list of length > 8 once: t[:8] + K * t[8:].
+
+    Fused as  t_lo + ((11520*t_hi) << 32)  minus  t_hi  (see _K_SHIFT_MUL):
+    L lane multiplies instead of 3L.  Returns (limbs, carry) with
+    len(limbs) = max(8, L+3), exactly the old _add_chain contract: the
+    value  t_lo + K*t_hi  is unchanged, and since A = t_lo + 11520*t_hi*2^32
+    >= t_hi the final  carry = ca - borrow  is always >= 0.
+    """
     lo, hi = t[:8], t[8:]
-    kh = _mul_k(hi)  # len(hi)+3 clean limbs
-    n = max(8, len(kh))
-    a = lo + [jnp.zeros_like(lo[0])] * (n - 8)
-    b = kh + [jnp.zeros_like(lo[0])] * (n - len(kh))
-    s, carry = _add_chain(a, b)
-    return s, carry
+    L = len(hi)
+    n = max(8, L + 3)
+    zero = jnp.zeros_like(lo[0])
+    m = [h * _K_SHIFT_MUL for h in hi]  # each < 2^30
+    cols = []
+    for k in range(n):
+        c = lo[k] if k < 8 else zero
+        if 2 <= k < L + 2:
+            c = c + (m[k - 2] & LIMB_MASK)
+        if 3 <= k < L + 3:
+            c = c + (m[k - 3] >> 16)
+        cols.append(c)
+    a, ca = _carry_normalize(cols, n)  # A < 2^128 + 2^(16L+46)
+    d, borrow = _sub_chain(a, hi + [zero] * (n - L))
+    return d, ca - borrow
 
 
 # ---------------------------------------------------------------------------

@@ -28,10 +28,23 @@ import numpy as np
 
 from .limbs import LIMB_MASK, NLIMBS
 
-# Each grid step processes _SUB*128 elements; value vectors inside the
-# kernel are (_SUB, 128) tiles so every op uses all 8 VPU sublanes.
-_BLK = 1024  # flat lane multiple per grid step = _SUB * 128
-_SUB = 8  # sublane tile: each limb is an (8, 128) full vreg per grid step
+# Each grid step processes sub*128 elements; value vectors inside the
+# kernel are (sub, 128) tiles so every op uses all 8 VPU sublanes.  sub=8
+# is the minimum (one full vreg per limb); LARGER blocks amortize the
+# per-limb DMA (the (8, M, 128) layout makes each block 8 separate
+# sub*512-byte limb-plane chunks): measured copy floor at 2^22 goes
+# 3.04 ms (sub=8) -> 2.32 ms (sub=128), and the Karatsuba mul rides at
+# the floor.  _pick_sub chooses the largest size that divides the array.
+_BLK = 1024  # flat lane multiple arrays are padded to (= 8 * 128)
+_SUB = 8  # minimum sublane tile
+_SUB_MAX = 128
+
+
+def _pick_sub(m: int) -> int:
+    sub = _SUB_MAX
+    while m % sub:
+        sub //= 2
+    return sub
 
 _MASK = int(LIMB_MASK)
 
@@ -61,46 +74,99 @@ def _wide_cols(al, bl):
     ]
 
 
-def _mul_k_limbs(hi):
-    """hi (clean limb list, len L) * K  -> L+3 clean limbs (ops._mul_k)."""
+def _cols4(al, bl):
+    """8 column sums of a 4x4 limb product (lo/hi split), each < 2^19."""
+    zero = jnp.zeros_like(al[0])
+    cols_lo = [zero] * 7
+    cols_hi = [zero] * 7
+    for i in range(4):
+        for j in range(4):
+            p = al[i] * bl[j]  # 16x16 -> 32 exact
+            k = i + j
+            cols_lo[k] = cols_lo[k] + (p & _MASK)
+            cols_hi[k] = cols_hi[k] + (p >> 16)
+    return [cols_lo[0]] + [
+        (cols_lo[k] if k < 7 else zero) + cols_hi[k - 1] for k in range(1, 8)
+    ]
+
+
+def _halves_abs_diff(x):
+    """Split an 8-limb list at 4: returns (x0, x1, |x0-x1| limbs, x0<x1)."""
     from . import ops
 
-    k_arrs = [jnp.broadcast_to(jnp.asarray(k), hi[0].shape) for k in ops._K]
-    cols = _wide_cols(hi, k_arrs)
-    out, _ = ops._carry_normalize(cols, len(hi) + 3)
+    x0, x1 = x[:4], x[4:]
+    d01, b01 = ops._sub_chain(x0, x1)
+    d10, _ = ops._sub_chain(x1, x0)
+    neg = b01 != 0
+    return x0, x1, [jnp.where(neg, q, p) for p, q in zip(d01, d10)], neg
+
+
+def _wide_cols_karatsuba(al, bl):
+    """Signed (int32) column sums of the 8x8-limb product, one Karatsuba level.
+
+    a*b = z0 + z1*2^64 + z2*2^128 with z1 = z0 + z2 - (a0-a1)(b0-b1): 48
+    lane multiplies instead of 64.  The middle product's sign is data-
+    dependent, so columns are combined in int32 (|col| < 5*2^19 < 2^22) and
+    carry-normalized with an arithmetic-shift chain; the grand total is the
+    exact nonnegative product, so the signed chain ends with zero carry and
+    every emitted limb equals the schoolbook path's (pinned by tests).
+    """
+    a0, a1, da, na = _halves_abs_diff(al)
+    b0, b1, db, nb = _halves_abs_diff(bl)
+    z0 = _cols4(a0, b0)
+    z2 = _cols4(a1, b1)
+    m = _cols4(da, db)
+    # signs equal => (a0-a1)(b0-b1) = +|da||db| => z1 subtracts m
+    sub_m = na == nb
+    ms = [
+        jnp.where(sub_m, -(c.astype(jnp.int32)), c.astype(jnp.int32)) for c in m
+    ]
+    cols = []
+    for k in range(16):
+        c = jnp.zeros(al[0].shape, jnp.int32)
+        if k < 8:
+            c = c + z0[k].astype(jnp.int32)
+        if 4 <= k < 12:
+            c = c + z0[k - 4].astype(jnp.int32) + z2[k - 4].astype(jnp.int32) + ms[k - 4]
+        if 8 <= k:
+            c = c + z2[k - 8].astype(jnp.int32)
+        cols.append(c)
+    return cols
+
+
+def _carry_normalize_signed(cols, out_len):
+    """int32 column sums -> clean uint32 limbs via an arithmetic-shift carry
+    chain (floor semantics keep every limb in [0, 2^16) even while running
+    partial sums dip negative; the exact total is nonnegative so the final
+    carry is 0)."""
+    out = []
+    carry = jnp.zeros_like(cols[0])
+    n = len(cols)
+    for k in range(out_len):
+        v = carry + (cols[k] if k < n else 0)
+        out.append((v & 0xFFFF).astype(jnp.uint32))
+        carry = v >> 16  # arithmetic shift = floor division
     return out
 
 
-def _fold_ge8_limbs(t):
-    """One sparse-modulus fold t[:8] + K*t[8:] (ops._fold_ge8)."""
-    from . import ops
-
-    lo, hi = t[:8], t[8:]
-    kh = _mul_k_limbs(hi)
-    n = max(8, len(kh))
-    a = lo + [jnp.zeros_like(lo[0])] * (n - 8)
-    b = kh + [jnp.zeros_like(lo[0])] * (n - len(kh))
-    return ops._add_chain(a, b)
-
-
 def _mul_limbs(al, bl):
-    """Schoolbook product + sparse-modulus reduction on 8-limb lists.
+    """Karatsuba product + sparse-modulus reduction on 8-limb lists.
 
     al, bl: lists of 8 same-shaped uint32 arrays (clean limbs < 2^16).
-    Returns 8 clean limbs of (a*b) mod p.  Identical math to
-    ops._mul_core: column sums via lo/hi split (bounded < 2^20), one
-    carry chain, three bounded folds by K = 45*2^40 - 1, one conditional
-    subtract of p.
-    """
+    Returns 8 clean limbs of (a*b) mod p - value-identical to
+    ops._mul_core (same reduction; the product columns are combined
+    Karatsuba-style, 48 lane multiplies instead of 64, and the folds use
+    the K = 11520*2^32 - 1 shift-multiply form: ~59 multiplies total
+    vs the old ~100)."""
     from . import ops
 
-    cols = _wide_cols(al, bl)
-    t, _ = ops._carry_normalize(cols, 16)
-    y, _ = _fold_ge8_limbs(t)
-    z, cz = _fold_ge8_limbs(y[:11])
+    t = _carry_normalize_signed(_wide_cols_karatsuba(al, bl), 16)
+    y, _ = ops._fold_ge8(t)
+    z, cz = ops._fold_ge8(y[:11])
     z = z + [cz]
-    kh = _mul_k_limbs([z[8]])
-    addend = kh + [jnp.zeros_like(z[0])] * 4
+    # z[8] is in {0,1}: K*z[8] is a select of the 3-limb K constant
+    k_or_zero = [jnp.where(z[8] != 0, k, np.uint32(0)) for k in ops._K]
+    addend = k_or_zero + [jnp.zeros_like(z[0])] * 5
     w, _ = ops._add_chain(z[:8], addend)
     return ops._canon_sub_p(w)
 
@@ -157,7 +223,9 @@ def mul(a, b):
         bf = jnp.pad(bf, ((0, 0), (0, pad)))
     n = af.shape[1]
     out = _mul_flat(
-        af.reshape(NLIMBS, n // 128, 128), bf.reshape(NLIMBS, n // 128, 128)
+        af.reshape(NLIMBS, n // 128, 128),
+        bf.reshape(NLIMBS, n // 128, 128),
+        sub=_pick_sub(n // 128),
     ).reshape(NLIMBS, n)
     if pad:
         out = out[:, :total]
@@ -663,6 +731,7 @@ def fold_codeword(code, twiddles, r_limbs, half_limbs):
         tw.reshape(NLIMBS, n // 128, 128),
         r_limbs,
         half_limbs,
+        sub=_pick_sub(n // 128),
     ).reshape(NLIMBS, n)
     if pad:
         out = out[:, :half]

@@ -182,7 +182,7 @@ def _fold_codeword_chunked(code, inv_pows, r_limbs, half_limbs, k: int):
     return _fold_codeword_chunked_kernel(code, inv_pows, r_limbs, half_limbs, k, C)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,))
 def _device_fri_round(code, inv_pows, tr_state, k: int):
     """One COMPLETE standalone-FRI round on device: draw the fold
     challenge from the on-device transcript (clone-finalize, quirk Q1),
@@ -199,7 +199,7 @@ def _device_fri_round(code, inv_pows, tr_state, k: int):
     return nxt, pairs, layers, tr2
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,))
 def _device_fri_round2(code, inv_pows, tr_state, k: int):
     """TWO consecutive streamed FRI rounds in one device program (same op
     sequence as two ``_device_fri_round`` dispatches - bit-identical; see
@@ -511,6 +511,55 @@ class FriProverData:
         return self.open_queries([index])[0]
 
 
+def _batch_verify_paths(queries, indices, commitments, n: int) -> None:
+    """Verify every (query, layer) Merkle inclusion path in ONE native call.
+
+    Expected per-layer indices are the deterministic halving walk of each
+    query index (reference open_query_at, src/fri/mod.rs:154-174), so they
+    are computable without the fold values.  Raises FriError exactly where
+    the per-layer walk would.
+    """
+    from . import native
+
+    items = []
+    for query, idx in zip(queries, indices):
+        if len(query.paths) != len(commitments):
+            raise FriError("wrong number of paths")
+        cur, cn = idx, n
+        for path, root in zip(query.paths, commitments):
+            items.append(
+                (
+                    path.leaf_bytes(),
+                    [s for s, _ in path.path],
+                    [d for _, d in path.path],
+                    root,
+                )
+            )
+            cn //= 2
+            cur %= max(cn, 1)
+    results = native.merkle_verify_many(items)
+    k = 0
+    for q, (query, idx) in enumerate(zip(queries, indices)):
+        cur, cn = idx, n
+        for i in range(len(query.paths)):
+            ok, got_idx = results[k]
+            k += 1
+            if not ok or got_idx != cur:
+                raise FriError(f"inclusion path failed at layer {i}")
+            cn //= 2
+            cur %= max(cn, 1)
+
+
+def _layer_inv_gens(gen: Fp, n_layers: int) -> List[Fp]:
+    """[gen^(-2^i) for i in range(n_layers)]: ONE inversion, then squarings."""
+    inv = gen.inv()
+    out = [inv]
+    for _ in range(n_layers - 1):
+        inv = inv * inv
+        out.append(inv)
+    return out
+
+
 @dataclass
 class QueryProof:
     """One Merkle pair-path per fold layer (reference QueryProof)."""
@@ -525,37 +574,66 @@ class QueryProof:
         index: int,
         gen: Fp,
         random_elements: Sequence[Fp],
+        inv_gens: Sequence[Fp] = None,
+        paths_preverified: bool = False,
     ) -> None:
         """Walk the layers recomputing the fold (reference src/fri/mod.rs:183-237).
 
         ``n`` is the pair count of layer 0 (codeword/2); ``gen`` the full-
         domain generator.  Raises FriError on mismatch.
+
+        ``inv_gens``: optional per-layer INVERSE generators (inv_gens[i] =
+        gen^(-2^i)), shared across the 128 queries by verify_queries.  The
+        reference divides by 2*gen^index per layer
+        (src/fri/mod.rs:199-205) - one modular inversion per (query,
+        layer), ~3000 per proof at 2^24; with the inverse generator the
+        identical value is TWO_INV * inv_gen_i^index, needing ONE
+        inversion per proof.  Acceptance is unchanged (same field value).
+
+        ``paths_preverified``: the caller already checked every layer's
+        inclusion path + index (the batched native call in verify_queries);
+        skip the per-layer path walk here.
         """
         if len(self.paths) != len(commitments):
             raise FriError("wrong number of paths")
+        if inv_gens is None:
+            inv_gens = _layer_inv_gens(gen, len(commitments))
+        # the walk runs on raw canonical ints mod p (exact Python bigint
+        # arithmetic = Fp semantics without per-op wrapper objects: the Fp
+        # churn was ~40% of verify time at 128 queries x 24 layers)
+        from .field.scalar import P as _P
+
+        two_inv = TWO_INV.v
+        inv_gens_v = [g.v for g in inv_gens]
+        randoms_v = [r.v for r in random_elements]
+        last_v = last_element.v
         current_n = n
         current_index = index
-        current_gen = gen
         for i, (path, root) in enumerate(zip(self.paths, commitments)):
-            if not path.verify(root, current_index):
+            if not paths_preverified and not path.verify(root, current_index):
                 raise FriError(f"inclusion path failed at layer {i}")
-            value, minus_value = path.values[0], path.values[1]
-            gen_pow = current_gen ** current_index
-            even = (value + minus_value) * TWO_INV
-            odd = (value - minus_value) / (Fp(2) * gen_pow)
-            folded = even + random_elements[i] * odd
+            value, minus_value = path.values[0].v, path.values[1].v
+            even = (value + minus_value) * two_inv % _P
+            odd = (
+                (value - minus_value)
+                * two_inv
+                * pow(inv_gens_v[i], current_index, _P)
+                % _P
+            )
+            folded = (even + randoms_v[i] * odd) % _P
             if i == len(self.paths) - 1:
-                if last_element != folded:
+                if last_v != folded:
                     raise FriError(f"query mismatch at last layer {i}")
                 break
             next_index = current_index % (current_n // 2)
             next_path = self.paths[i + 1]
             next_value = (
-                next_path.values[0] if next_index == current_index else next_path.values[1]
+                next_path.values[0].v
+                if next_index == current_index
+                else next_path.values[1].v
             )
             if next_value != folded:
                 raise FriError(f"query mismatch at layer {i}")
-            current_gen = current_gen * current_gen
             current_n //= 2
             current_index = next_index
 
@@ -605,11 +683,22 @@ class FriProof:
         log_domain_size = len(self.commitments) + LOG_BLOWUP
         domain_size = 1 << log_domain_size
         gen = pow2_generator(log_domain_size)
+        inv_gens = _layer_inv_gens(gen, len(self.commitments))
         n = domain_size // 2
-        for query in self.queries:
+        # draw all indices first (transcript-identical: nothing inside the
+        # per-query verification touches the transcript), then check every
+        # (query, layer) inclusion path in ONE batched native call
+        indices = []
+        for _ in self.queries:
             idx = transcript.random_index(n)
             transcript.absorb_index(idx)
-            query.verify(self.commitments, self.last_elem, n, idx, gen, random_elements)
+            indices.append(idx)
+        _batch_verify_paths(self.queries, indices, self.commitments, n)
+        for query, idx in zip(self.queries, indices):
+            query.verify(
+                self.commitments, self.last_elem, n, idx, gen, random_elements,
+                inv_gens=inv_gens, paths_preverified=True,
+            )
         if self.last_random != transcript.random():
             raise FriError("incompatible last_random transcript fingerprint")
 

@@ -80,6 +80,11 @@ def _load() -> None:
         u8p, ctypes.c_uint64, u8p, u8p, ctypes.c_uint64, u8p,
     ]
     lib.mlt_merkle_verify.restype = ctypes.c_longlong
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    lib.mlt_merkle_verify_many.argtypes = [
+        u8p, u64p, u8p, u8p, u64p, u8p, ctypes.c_uint64, i64p,
+    ]
     _LIB = lib
     HAVE_NATIVE = True
 
@@ -431,6 +436,42 @@ def _sha_compress_py(st: List[int], block: bytes) -> None:
     st[5] = (st[5] + f) & M
     st[6] = (st[6] + g) & M
     st[7] = (st[7] + h) & M
+
+
+def merkle_verify_many(items) -> List[Tuple[bool, int]]:
+    """Batch-verify inclusion paths in ONE native call.
+
+    ``items``: list of (leaf_bytes, sibs, dirs, root) exactly as
+    :func:`merkle_verify` takes them.  Returns [(root_ok, index)] in order.
+    The per-call ctypes marshalling of merkle_verify is ~half the host
+    verifier's Merkle cost at 128 queries x ~24 layers (round-3 VERDICT
+    item 3); batching makes it one call per proof.
+    """
+    if not HAVE_NATIVE or not items or any(not it[1] for it in items):
+        return [merkle_verify(*it) for it in items]
+    n = len(items)
+    leaves = np.frombuffer(b"".join(it[0] for it in items), dtype=np.uint8)
+    leaf_len = np.asarray([len(it[0]) for it in items], dtype=np.uint64)
+    sibs = np.frombuffer(
+        b"".join(s for it in items for s in it[1]), dtype=np.uint8
+    )
+    dirs = np.asarray([d for it in items for d in it[2]], dtype=np.uint8)
+    depth = np.asarray([len(it[2]) for it in items], dtype=np.uint64)
+    roots = np.frombuffer(b"".join(it[3] for it in items), dtype=np.uint8)
+    out = np.empty(n, dtype=np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    _LIB.mlt_merkle_verify_many(
+        _p(leaves),
+        leaf_len.ctypes.data_as(u64p),
+        _p(sibs),
+        _p(dirs),
+        depth.ctypes.data_as(u64p),
+        _p(roots),
+        n,
+        out.ctypes.data_as(i64p),
+    )
+    return [(int(v) >= 0, int(v)) for v in out]
 
 
 def merkle_verify(leaf_bytes: bytes, sibs: List[bytes], dirs: List[int], root: bytes) -> Tuple[bool, int]:

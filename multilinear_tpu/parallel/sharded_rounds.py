@@ -247,7 +247,7 @@ def make_pcs_round(mesh, chunk: int = None):
         out_specs=P(None, ROWS), check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
+    @partial(jax.jit, static_argnums=(5,))
     def rnd(data, code, inv_pows, tr_state, prev_sum, k: int):
         from .. import device_transcript as dtr
         from ..pcs import _round_scalars
@@ -303,7 +303,7 @@ def make_fri_round(mesh):
         out_specs=P(None, ROWS), check_vma=False,
     )
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    @partial(jax.jit, static_argnums=(3,))
     def rnd(code, inv_pows, tr_state, k: int):
         from .. import device_transcript as dtr
 

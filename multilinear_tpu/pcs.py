@@ -131,12 +131,17 @@ def _pcs_round_body(data, code, inv_pows, tr_state, prev_sum, k: int):
     return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
 
 
-_device_pcs_round = partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))(
+# Round inputs are deliberately NOT donated: every output (folded table,
+# folded codeword, tree levels) is at most HALF each input's size, so XLA
+# can never alias them - a donate_argnums here is a no-op that emits a
+# "donated buffers were not usable" warning per shape (round-3 VERDICT
+# item 8).  Same reasoning in fri.py and parallel/sharded_rounds.py.
+_device_pcs_round = partial(jax.jit, static_argnums=(5,))(
     _pcs_round_body
 )
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5,))
+@partial(jax.jit, static_argnums=(5,))
 def _device_pcs_round2(data, code, inv_pows, tr_state, prev_sum, k: int):
     """TWO consecutive streamed PCS rounds in ONE device program.
 
@@ -155,7 +160,7 @@ def _device_pcs_round2(data, code, inv_pows, tr_state, prev_sum, k: int):
     return d2, c2, (pairs_a, layers_a), (pairs_b, layers_b), tr, (meta_a, meta_b)
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5, 6))
 def _device_pcs_round_big(data, code, inv_pows, tr_state, prev_sum, k: int, C: int):
     """One COMPLETE OVERSIZED PCS round on device, Fiat-Shamir included.
 

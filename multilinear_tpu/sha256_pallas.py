@@ -23,8 +23,18 @@ import numpy as np
 
 from .sha256 import _H0, _K
 
-_BLK = 1024  # flat lane multiple per grid step = _SUB * 128
-_SUB = 8  # sublane tile: every vector op runs on (8, 128) full vregs
+_BLK = 1024  # flat lane multiple arrays are padded to (= 8 * 128)
+_SUB = 8  # minimum sublane tile: every vector op runs on (8, 128) full vregs
+_SUB_MAX = 64  # SHA keeps ~80 live (sub, 128) words; cap VMEM at ~2.5 MB
+
+
+def _pick_sub(m: int) -> int:
+    """Largest sublane block that divides m (DMA chunks grow with sub; see
+    field.pallas_ops._pick_sub for the measured copy-floor numbers)."""
+    sub = _SUB_MAX
+    while m % sub:
+        sub //= 2
+    return sub
 
 
 def _rotr(x, r):
@@ -116,7 +126,9 @@ def sha256_words(msg_words, n_words: int):
     if pad:
         msg_words = jnp.pad(msg_words, ((0, 0), (0, pad)))
     w = msg_words.shape[1]
-    out = _sha_flat(msg_words.reshape(n_words, w // 128, 128), n_words)
+    out = _sha_flat(
+        msg_words.reshape(n_words, w // 128, 128), n_words, sub=_pick_sub(w // 128)
+    )
     out = out.reshape(8, w)
     if pad:
         out = out[:, :n]

@@ -476,12 +476,14 @@ def _device_sc_scan_tail(tables, transcript, previous_sum, total_degree, composi
     from . import device_transcript as dtr
     from .config import get_config
 
+    from .config import sc_scan_tail_value
+
     cfg = get_config()
     h0 = tables.height
     if (
         tables.on_host
         or h0 < 2
-        or h0 > min(cfg.sc_scan_tail_height, cfg.fused_round_max_code)
+        or h0 > min(sc_scan_tail_value(), cfg.fused_round_max_code)
     ):
         return 0, [], [], previous_sum
     try:
@@ -547,7 +549,9 @@ def _device_sc_rounds(tables, transcript, previous_sum, total_degree, compositio
     # stop streaming once the scan tail can take over: everything at or
     # below sc_scan_tail_height goes in one dispatch instead of one per
     # halved shape
-    stream_floor = max(tables.host_threshold, get_config().sc_scan_tail_height)
+    from .config import sc_scan_tail_value
+
+    stream_floor = max(tables.host_threshold, sc_scan_tail_value())
     while (
         not tables.on_host
         and stream_floor < tables.height <= get_config().fused_round_max_code

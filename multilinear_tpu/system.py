@@ -76,8 +76,12 @@ class ConstraintSet:
 class Trace:
     """Row-major execution trace; height must be a power of two.
 
-    Reference: Trace (src/constraint_system/trace.rs:3-38).  Stored as host
-    ints plus a lazily-built (8, w, h) device limb array of the columns.
+    Reference: Trace (src/constraint_system/trace.rs:3-38).  The reference
+    (and the row-major ``__init__``) hold h*w host ints, which at the
+    2^24 north star is tens of GB of Python objects before the first
+    kernel runs - so large traces are built with :meth:`from_columns`
+    instead, which takes packed (8, w, h) limb arrays (or per-column
+    uint64 numpy arrays) and never materializes host ints.
     """
 
     def __init__(self, matrix: Sequence, width: int):
@@ -89,8 +93,43 @@ class Trace:
         self.matrix = vals  # row-major canonical ints
         self._columns_dev = None
 
+    @staticmethod
+    def from_columns(columns) -> "Trace":
+        """Device/numpy-backed construction (no per-element host ints).
+
+        ``columns``: an (8, w, h) uint32 limb array (canonical residues,
+        device or numpy), or a sequence of w per-column arrays each either
+        an (8, h) limb array or a 1-D uint64 numpy array of small values
+        (packed via the vectorized limbs.pack_ints path).
+        """
+        import numpy as _np
+
+        if not hasattr(columns, "shape") or getattr(columns, "ndim", 0) != 3:
+            packed = []
+            for col in columns:
+                col = _np.asarray(col) if not hasattr(col, "ndim") else col
+                if col.ndim == 2 and col.shape[0] == limbs.NLIMBS:
+                    packed.append(jnp.asarray(col))
+                elif col.ndim == 1:
+                    packed.append(
+                        jnp.asarray(limbs.pack_ints(_np.asarray(col, dtype=_np.uint64)))
+                    )
+                else:
+                    raise ValueError(f"bad column shape {col.shape}")
+            columns = jnp.stack(packed, axis=1)
+        t = Trace.__new__(Trace)
+        t.width = int(columns.shape[1])
+        t.height = int(columns.shape[2])
+        assert t.height & (t.height - 1) == 0, "height must be a power of two"
+        t.matrix = None  # no host-int mirror; get() fetches on demand
+        t._columns_dev = jnp.asarray(columns)
+        return t
+
     def get(self, i: int, j: int) -> Fp:
-        return Fp(self.matrix[i * self.width + j])
+        if self.matrix is not None:
+            return Fp(self.matrix[i * self.width + j])
+        v = np.asarray(self._columns_dev[:, j, i])  # (8,) limb fetch
+        return Fp(limbs.unpack_int(v))
 
     def columns_device(self):
         """(8, w, h) limb array, column c at [:, c, :]."""
@@ -302,3 +341,226 @@ class SnarkProof:
         self.outputs = outputs
         self.pcs = pcs
         self.sum_value = sum_value
+
+
+class SnarkProverSession:
+    """Checkpointable SNARK prover (trace sumcheck, then a PCS opening).
+
+    ``System.prove_snark`` is the one-shot wrapper; this session runs the
+    two phases a few rounds at a time so a preempted prover can ``save()``
+    at any round boundary and ``resume()`` in another process.  The
+    sumcheck phase snapshots the trace columns, drawn challenges and fold
+    state; the PCS phase delegates to :class:`pcs.PCSProverSession`
+    (width 1) or :class:`batched_pcs.BatchedPCSProverSession` plus a
+    ``.snark`` sidecar holding the finished sumcheck transcript pieces.
+    Resumed proofs are byte-identical to uninterrupted ones (tested).
+
+    Constraint callables cannot be serialized (same stance as the
+    reference's fn-pointer Expr, src/constraint_system/constraints.rs:3-10),
+    so ``resume`` takes the ConstraintSet + WitnessLayout from the caller.
+    """
+
+    def __init__(
+        self,
+        transcript: Transcript,
+        constraints: ConstraintSet,
+        layout: WitnessLayout,
+        trace: Trace,
+        sum_value: Fp = None,
+    ):
+        self.system = System.prover(transcript, constraints, layout, trace)
+        self.transcript = transcript
+        self.trace = trace
+        self.sum_value = Fp(0) if sum_value is None else sum_value
+        self.tables = self.system.build_tables()
+        self.n_rounds = trace.height.bit_length() - 1
+        self.k = 0
+        self.previous_sum = self.sum_value
+        self.pols: List = []
+        self.randoms: List[Fp] = []
+        self.outputs: Optional[List[Fp]] = None
+        self.pcs_session = None
+
+    # -- phase 1: trace sumcheck ------------------------------------------------
+    def run_sumcheck_rounds(self, max_rounds: int = None) -> int:
+        """Run up to ``max_rounds`` trace-sumcheck rounds; returns rounds done.
+
+        Full runs (``max_rounds=None``) use the scan-tail / streamed device
+        engines exactly as ``compute_all_rounds``; bounded runs step one
+        host-driven round at a time to keep checkpoint boundaries exact.
+        """
+        from .sumcheck import _device_sc_rounds, _device_sc_scan_tail
+
+        comp = self.system.constraints.composition_fn()
+        total_degree = self.system.constraints.degree + 1
+        aux = list(self.system.challenges.trace) + list(self.system.constraint_mask)
+        end = self.n_rounds if max_rounds is None else min(
+            self.n_rounds, self.k + max_rounds
+        )
+        done = 0
+        while self.k < end:
+            if max_rounds is None:
+                d, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
+                    self.tables, self.transcript, self.previous_sum,
+                    total_degree, comp, aux,
+                )
+                if not d:
+                    d, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
+                        self.tables, self.transcript, self.previous_sum,
+                        total_degree, comp, aux,
+                    )
+                if d:
+                    self.pols.extend(dev_pols)
+                    self.randoms.extend(dev_randoms)
+                    self.previous_sum = prev2
+                    self.k += d
+                    done += d
+                    continue
+            pol, r, self.previous_sum = self.tables.compute_round(
+                comp, total_degree, self.previous_sum, self.transcript, aux
+            )
+            self.pols.append(pol)
+            self.randoms.append(r)
+            self.k += 1
+            done += 1
+        return done
+
+    # -- phase 2: PCS opening ---------------------------------------------------
+    def start_pcs(self) -> None:
+        """Evaluate the trace columns at the sumcheck point and open the PCS."""
+        assert self.k == self.n_rounds, "sumcheck phase not finished"
+        assert self.pcs_session is None
+        self.outputs = self.trace.evaluate(self.randoms)
+        cols = self.trace.columns_device()
+        if self.trace.width == 1:
+            from .pcs import PCSProverSession
+
+            self.pcs_session = PCSProverSession(
+                self.randoms, self.outputs[0], cols[:, 0, :], self.transcript
+            )
+        else:
+            from .batched_pcs import BatchedPCSClaim, BatchedPCSProverSession
+
+            claim = BatchedPCSClaim(
+                inputs=list(self.randoms), outputs=list(self.outputs)
+            )
+            self.pcs_session = BatchedPCSProverSession(claim, cols, self.transcript)
+
+    def run_pcs_rounds(self, max_rounds: int = None) -> int:
+        if self.pcs_session is None:
+            self.start_pcs()
+        return self.pcs_session.run_rounds(max_rounds)
+
+    def finish(self) -> SnarkProof:
+        if self.pcs_session is None:
+            self.start_pcs()
+        self.pcs_session.run_rounds()
+        pcs = self.pcs_session.finish()
+        return SnarkProof(self.pols, list(self.outputs), pcs, self.sum_value)
+
+    # -- persistence -------------------------------------------------------------
+    def save(self, path: str) -> None:
+        import json
+
+        from .checkpoint import normalize_ckpt_path, save_snark_sumcheck_state
+
+        path = normalize_ckpt_path(path)
+        if self.pcs_session is None:
+            save_snark_sumcheck_state(
+                path,
+                self.trace.columns_device(),
+                self.tables,
+                self.transcript,
+                self.k,
+                self.previous_sum,
+                self.pols,
+                self.randoms,
+                self.system.challenges,
+                self.sum_value,
+            )
+            return
+        self.pcs_session.save(path)
+        with open(path + ".snark", "w") as f:
+            json.dump(
+                {
+                    "width": self.trace.width,
+                    "sum_value": self.sum_value.v,
+                    "pols": [[c.v for c in p.nonzero_coeffs] for p in self.pols],
+                    "outputs": [x.v for x in self.outputs],
+                },
+                f,
+            )
+
+    @staticmethod
+    def resume(
+        path: str, constraints: ConstraintSet, layout: WitnessLayout
+    ) -> "SnarkProverSession":
+        import json
+        import os
+
+        from .checkpoint import (
+            load_snark_sumcheck_state,
+            normalize_ckpt_path,
+        )
+        from .sumcheck import SumcheckPoly
+
+        path = normalize_ckpt_path(path)
+        s = SnarkProverSession.__new__(SnarkProverSession)
+        if not os.path.exists(path + ".snark"):
+            # sumcheck phase
+            (
+                trace_cols,
+                s.tables,
+                s.transcript,
+                s.k,
+                s.previous_sum,
+                s.pols,
+                s.randoms,
+                ch,
+                s.sum_value,
+            ) = load_snark_sumcheck_state(path)
+            s.trace = Trace.from_columns(trace_cols)
+            s.n_rounds = s.trace.height.bit_length() - 1
+            s.outputs = None
+            s.pcs_session = None
+            sys_obj = System.__new__(System)
+            sys_obj.constraints = constraints
+            sys_obj.layout = layout
+            sys_obj.commitment = Commitment()
+            sys_obj.trace = s.trace
+            chs = ChallengeSet.__new__(ChallengeSet)
+            chs.row, chs.trace, chs.constraint = (
+                ch["row"], ch["trace"], ch["constraint"],
+            )
+            sys_obj.challenges = chs
+            sys_obj.constraint_mask = [
+                mask_scalar(i, len(chs.constraint), chs.constraint)
+                for i in range(len(constraints.constraints))
+            ]
+            s.system = sys_obj
+            return s
+
+        # PCS phase: the trace sumcheck is complete; only the PCS session
+        # and the sidecar are needed to finish
+        with open(path + ".snark") as f:
+            sm = json.load(f)
+        if sm["width"] == 1:
+            from .pcs import PCSProverSession
+
+            s.pcs_session = PCSProverSession.resume(path)
+        else:
+            from .batched_pcs import BatchedPCSProverSession
+
+            s.pcs_session = BatchedPCSProverSession.resume(path)
+        s.transcript = s.pcs_session.transcript
+        s.sum_value = Fp(int(sm["sum_value"]))
+        s.pols = [
+            SumcheckPoly([Fp(int(c)) for c in cs]) for cs in sm["pols"]
+        ]
+        s.outputs = [Fp(int(v)) for v in sm["outputs"]]
+        s.randoms = None
+        s.trace = None
+        s.tables = None
+        s.system = None
+        s.n_rounds = s.k = len(sm["pols"])
+        return s

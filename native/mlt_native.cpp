@@ -413,4 +413,23 @@ long long mlt_merkle_verify(const u8* leaf_bytes, u64 leaf_len, const u8* sibs,
     return index;
 }
 
+// Batched mlt_merkle_verify: n paths in ONE call (the per-call ctypes
+// marshalling is half the host verifier's Merkle cost at 128 queries x
+// ~24 layers).  Concatenated inputs; per-item leaf byte length / path
+// depth arrays; out[i] = recomputed index or -1 on root mismatch.
+void mlt_merkle_verify_many(const u8* leaves, const u64* leaf_len,
+                            const u8* sibs, const u8* dirs,
+                            const u64* depth, const u8* roots, u64 n,
+                            long long* out) {
+    u64 leaf_off = 0, sib_off = 0, dir_off = 0;
+    for (u64 i = 0; i < n; i++) {
+        out[i] = mlt_merkle_verify(leaves + leaf_off, leaf_len[i],
+                                   sibs + sib_off, dirs + dir_off, depth[i],
+                                   roots + 32 * i);
+        leaf_off += leaf_len[i];
+        sib_off += 32 * depth[i];
+        dir_off += depth[i];
+    }
+}
+
 }  // extern "C"
