@@ -39,6 +39,14 @@ from .limbs import K_LIMBS, LIMB_MASK, NLIMBS, P_LIMBS
 _P = [np.uint32(int(x)) for x in P_LIMBS]  # np scalars: safe to close over in Pallas kernels
 _K = [np.uint32(int(x)) for x in K_LIMBS]  # 3 limbs of K = 45*2^40 - 1
 
+# (p+1)/2 = the field inverse of 2 (p is odd): used by the multiply-free
+# halving (see ``half``).
+from .limbs import P as _P_INT
+
+_HALF_P1 = [
+    np.uint32(((_P_INT + 1) // 2 >> (16 * i)) & int(LIMB_MASK)) for i in range(8)
+]
+
 # ---------------------------------------------------------------------------
 # limb-list helpers.  A "limb list" is a Python list of equally-shaped uint32
 # arrays; list index = limb index.  Static Python loops unroll into straight-
@@ -185,6 +193,38 @@ def neg(a):
     d, _ = _sub_chain(_P, al)
     is_zero = is_zero_mask(a)
     return _join([jnp.where(is_zero, np.uint32(0), x) for x in d])
+
+
+def _half_list(al):
+    """x * 2^{-1} mod p on a canonical limb LIST - no field multiply.
+
+    p is odd, so x/2 = (x >> 1) when x is even and (x + p)/2 =
+    (x >> 1) + (p+1)/2 when x is odd (x + p is even and < 2p, so the
+    division is exact and the result < p).  The bit shift crosses limbs
+    (bit 0 of limb i+1 becomes bit 15 of limb i) and the conditional add
+    of the (p+1)/2 constant cannot overflow: (x>>1) + (p+1)/2 <=
+    (p-2)/2 + (p+1)/2 = p - 1/2 < p, so the final carry is provably 0.
+    Usable both from jnp code and inside Pallas kernel bodies (constants
+    are np scalars).
+    """
+    odd = al[0] & np.uint32(1)
+    sh = [
+        (al[i] >> 1) | ((al[i + 1] & np.uint32(1)) << 15)
+        for i in range(NLIMBS - 1)
+    ] + [al[NLIMBS - 1] >> 1]
+    addl = [jnp.where(odd != 0, h, np.uint32(0)) for h in _HALF_P1]
+    out, _carry = _add_chain(sh, addl)  # provably 0 (see above)
+    return out
+
+
+@jax.jit
+def half(a):
+    """(a * 2^{-1}) mod p for a canonical limb array - shift-add, no multiply.
+
+    Bit-identical to ``mul(a, broadcast_scalar(pack(TWO_INV)))`` (same
+    canonical field value), at the cost of one cross-limb shift and one
+    conditional add instead of a full 128-bit multiply."""
+    return _join(_half_list(_split(a)))
 
 
 def is_zero_mask(a):

@@ -233,27 +233,24 @@ def mul(a, b):
 
 
 # ---------------------------------------------------------------------------
-# fused FRI fold:  next = ((a + b) + r * (a - b) * tw) * 1/2
-# one pass, three in-VMEM multiplies, 96 B read + 32 B write per output.
+# fused FRI fold:  next = ((a + b) + r * (a - b) * tw) * 1/2, evaluated in
+# the 2-multiply form  half(a+b) + (a-b) * tw * (r/2)  (the division by two
+# is a multiply-free shift-add and the r and 1/2 scalars collapse into the
+# precomputed rh = r * 2^{-1}; same canonical value - see fri._rh_scalar).
+# One pass, two in-VMEM multiplies, 96 B read + 32 B write per output.
 # ---------------------------------------------------------------------------
 
 
-def _fold_kernel(a_ref, b_ref, tw_ref, r_ref, h_ref, o_ref):
+def _fold_kernel(a_ref, b_ref, tw_ref, rh_ref, o_ref):
     from . import ops
 
     al = [a_ref[i] for i in range(NLIMBS)]
     bl = [b_ref[i] for i in range(NLIMBS)]
     tw = [tw_ref[i] for i in range(NLIMBS)]
     shape = al[0].shape
-    rl = [jnp.broadcast_to(r_ref[i], shape) for i in range(NLIMBS)]
-    hl = [jnp.broadcast_to(h_ref[i], shape) for i in range(NLIMBS)]
+    rhl = [jnp.broadcast_to(rh_ref[i], shape) for i in range(NLIMBS)]
 
-    even, carry = ops._add_chain(al, bl)
-    # a + b < 2p: reduce exactly as ops.add does
-    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
-    k_or_zero += [jnp.zeros_like(even[0])] * (NLIMBS - 3)
-    even, _ = ops._add_chain(even, k_or_zero)
-    even = ops._canon_sub_p(even)
+    even = ops._half_list(_add_mod(al, bl))
 
     diff, borrow = ops._sub_chain(al, bl)
     k_or_zero = [jnp.where(borrow != 0, k, jnp.uint32(0)) for k in ops._K]
@@ -261,21 +258,15 @@ def _fold_kernel(a_ref, b_ref, tw_ref, r_ref, h_ref, o_ref):
     odd, _ = ops._sub_chain(diff, k_or_zero)
 
     odd = _mul_limbs(odd, tw)
-    odd = _mul_limbs(rl, odd)
+    odd = _mul_limbs(rhl, odd)
 
-    s, carry = ops._add_chain(even, odd)
-    k_or_zero = [jnp.where(carry != 0, k, jnp.uint32(0)) for k in ops._K]
-    k_or_zero += [jnp.zeros_like(s[0])] * (NLIMBS - 3)
-    s, _ = ops._add_chain(s, k_or_zero)
-    s = ops._canon_sub_p(s)
-
-    out = _mul_limbs(s, hl)
+    out = _add_mod(even, odd)
     for i in range(NLIMBS):
         o_ref[i] = out[i]
 
 
 @functools.partial(jax.jit, static_argnames=("sub",))
-def _fold_flat(a, b, tw, r_limbs, half_limbs, sub: int = _SUB):
+def _fold_flat(a, b, tw, rh_limbs, sub: int = _SUB):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -291,9 +282,9 @@ def _fold_flat(a, b, tw, r_limbs, half_limbs, sub: int = _SUB):
         _fold_kernel,
         out_shape=jax.ShapeDtypeStruct((NLIMBS, m, 128), jnp.uint32),
         grid=grid,
-        in_specs=[spec, spec, spec, sspec, sspec],
+        in_specs=[spec, spec, spec, sspec],
         out_specs=spec,
-    )(a, b, tw, r_limbs.reshape(NLIMBS, 1, 1), half_limbs.reshape(NLIMBS, 1, 1))
+    )(a, b, tw, rh_limbs.reshape(NLIMBS, 1, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -710,15 +701,150 @@ def butterfly2(x, tw4):
     return out.reshape(8, M, C)
 
 
+# ---------------------------------------------------------------------------
+# fused FRI fold + pair-leaf SHA-256: ONE HBM pass per round producing BOTH
+# the folded codeword (already in the (2, q) Merkle pair layout) and the
+# leaf digest level.  The separate commit otherwise re-reads the folded
+# codeword from HBM (m/2 * 32 B per round) just to hash it; here each leaf's
+# two elements are folded and hashed while still in vregs.  Grid block i
+# covers leaves [i*sub*128, ...): it reads code quarters a_lo/a_hi/b_lo/b_hi
+# (nxt[i] = fold(a[i], b[i]); leaf i = H(nxt[i] || nxt[i+q])), the two
+# twiddle halves, folds both, writes the pair block, and runs one unrolled
+# SHA-256 compression (32-byte message = 1 block) for the digest.
+# ---------------------------------------------------------------------------
+
+_FC_SUB_MAX = 32  # fold operands + ~80 live SHA words: cap VMEM per block
+
+
+def _limb_words(l):
+    """8 clean 16-bit limbs -> 4 big-endian SHA words; exactly
+    sha256.limbs_to_words' byte layout (quirk Q9)."""
+    out = []
+    for j in range(4):
+        l0, l1 = l[2 * j], l[2 * j + 1]
+        out.append(
+            ((l0 & 0xFF) << 24) | ((l0 >> 8) << 16) | ((l1 & 0xFF) << 8) | (l1 >> 8)
+        )
+    return out
+
+
+def _fold_commit_kernel(x_ref, tw_ref, rh_ref, o_ref, d_ref):
+    from . import ops
+    from ..sha256 import _H0
+    from ..sha256_pallas import _compress_unrolled
+
+    def quarter(k):
+        return [x_ref[i, k] for i in range(NLIMBS)]
+
+    a_lo, a_hi = quarter(0), quarter(1)
+    b_lo, b_hi = quarter(2), quarter(3)
+    tw_lo = [tw_ref[i, 0] for i in range(NLIMBS)]
+    tw_hi = [tw_ref[i, 1] for i in range(NLIMBS)]
+    shape = a_lo[0].shape
+    rhl = [jnp.broadcast_to(rh_ref[i], shape) for i in range(NLIMBS)]
+
+    def fold(al, bl, twl):
+        even = ops._half_list(_add_mod(al, bl))
+        odd = _mul_limbs(_mul_limbs(_sub_mod(al, bl), twl), rhl)
+        return _add_mod(even, odd)
+
+    n_lo = fold(a_lo, b_lo, tw_lo)
+    n_hi = fold(a_hi, b_hi, tw_hi)
+    for i in range(NLIMBS):
+        o_ref[i, 0] = n_lo[i]
+        o_ref[i, 1] = n_hi[i]
+
+    # SHA-256 of the 32-byte pair message: 8 words + standard 1-block pad
+    def const(v):
+        return jnp.full(shape, np.uint32(v), jnp.uint32)
+
+    words = _limb_words(n_lo) + _limb_words(n_hi)
+    words.append(const(0x80000000))
+    words += [const(0)] * 5
+    words += [const(0), const(256)]  # bit length 32*8 = 256
+    state = _compress_unrolled([const(int(h)) for h in _H0], words)
+    for i in range(8):
+        d_ref[i] = state[i]
+
+
+@functools.partial(jax.jit, static_argnames=("sub",))
+def _fold_commit_flat(x, tw, rh_limbs, sub: int = _SUB):
+    """x: (8, 4, Q, 128) code quarters; tw: (8, 2, Q, 128); rh: (8,).
+    Returns ((8, 2, Q, 128) folded pairs, (8, Q, 128) leaf digests)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = x.shape[2]
+    grid = (Q // sub,)
+    x_spec = pl.BlockSpec(
+        (NLIMBS, 4, sub, 128), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (NLIMBS, 2, sub, 128), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    s_spec = pl.BlockSpec(
+        (NLIMBS, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = pl.BlockSpec(
+        (NLIMBS, 2, sub, 128), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    d_spec = pl.BlockSpec(
+        (8, sub, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _fold_commit_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((NLIMBS, 2, Q, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((8, Q, 128), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[x_spec, tw_spec, s_spec],
+        out_specs=(o_spec, d_spec),
+    )(x, tw, rh_limbs.reshape(NLIMBS, 1, 1))
+
+
+def fold_commit_supported(m: int) -> bool:
+    """True when the fused fold+leaf-hash kernel handles an m-codeword
+    (quarters must stay whole (sub, 128) tiles - no pad path: a padded
+    lane would hash garbage into a real digest slot)."""
+    return m % (4 * _BLK) == 0
+
+
+def fold_commit_leaves(code, twiddles, r_limbs, half_limbs):
+    """One FRI fold + leaf hashing of the pair view, fused.
+
+    code: (8, m); twiddles: (8, m/2); returns (pairs (8, 2, m/4),
+    leaf_digests (8, m/4)) with pairs == fold(code).reshape(8, 2, m/4) and
+    digests == the Merkle leaf level over those pairs - bit-identical to
+    fri._fold_codeword + merkle leaf hashing (pinned by tests).
+    """
+    from . import ops
+
+    m = code.shape[-1]
+    q = m // 4
+    rh = ops.mul(r_limbs.reshape(NLIMBS, 1), half_limbs.reshape(NLIMBS, 1))[:, 0]
+    x = code.reshape(NLIMBS, 4, q // 128, 128)
+    tw = twiddles.reshape(NLIMBS, 2, q // 128, 128)
+    sub = _FC_SUB_MAX
+    while (q // 128) % sub:
+        sub //= 2
+    pairs, digs = _fold_commit_flat(x, tw, rh, sub=sub)
+    return pairs.reshape(NLIMBS, 2, q), digs.reshape(8, q)
+
+
 def fold_codeword(code, twiddles, r_limbs, half_limbs):
     """One FRI fold (8, m) -> (8, m/2), fully fused in VMEM.
 
-    Same semantics as fri._fold_codeword: next[i] = ((a+b) + r*(a-b)*tw)/2.
+    Same semantics as fri._fold_codeword: next[i] = ((a+b) + r*(a-b)*tw)/2,
+    evaluated in the 2-multiply half(a+b) + (a-b)*tw*(r/2) form.
     """
+    from . import ops
+
     m = code.shape[-1]
     half = m // 2
     a, b = code[..., :half], code[..., half:]
     tw = twiddles
+    rh = ops.mul(r_limbs.reshape(NLIMBS, 1), half_limbs.reshape(NLIMBS, 1))[:, 0]
     pad = (-half) % _BLK
     if pad:
         a = jnp.pad(a, ((0, 0), (0, pad)))
@@ -729,8 +855,7 @@ def fold_codeword(code, twiddles, r_limbs, half_limbs):
         a.reshape(NLIMBS, n // 128, 128),
         b.reshape(NLIMBS, n // 128, 128),
         tw.reshape(NLIMBS, n // 128, 128),
-        r_limbs,
-        half_limbs,
+        rh,
         sub=_pick_sub(n // 128),
     ).reshape(NLIMBS, n)
     if pad:

@@ -50,12 +50,25 @@ class FriError(Exception):
     pass
 
 
+def _rh_scalar(r_limbs, half_limbs):
+    """(8,) limbs of r * 2^{-1}: ONE scalar field multiply, traced.
+
+    The fold formula ((a+b) + r*(a-b)*tw) / 2 is computed as
+    half(a+b) + (a-b)*tw*(r/2): the division by two becomes a multiply-
+    free shift-add (ops.half) and the r and 1/2 scalars collapse into one
+    broadcast factor - 2 full-size field multiplies per output instead
+    of 3.  Same canonical field value (pinned byte-identical by tests).
+    """
+    return ops.mul(r_limbs.reshape(8, 1), half_limbs.reshape(8, 1))[:, 0]
+
+
 @jax.jit
 def _fold_codeword(code, twiddles, r_limbs, half_limbs):
     """One FRI fold: code (8, m) -> (8, m/2).
 
     next[i] = ((a+b) + r * (a-b) * tw[i]) * 1/2 with a = code[i],
-    b = code[i + m/2], tw[i] = g^{-i*2^k} (strided inverse power table).
+    b = code[i + m/2], tw[i] = g^{-i*2^k} (strided inverse power table);
+    evaluated in the 2-multiply form (see _rh_scalar).
     """
     m = code.shape[-1]
     half = m // 2
@@ -67,13 +80,10 @@ def _fold_codeword(code, twiddles, r_limbs, half_limbs):
 
             return pallas_ops.fold_codeword(code, twiddles, r_limbs, half_limbs)
     a, b = code[..., :half], code[..., half:]
-    even = ops.add(a, b)
+    even = ops.half(ops.add(a, b))
     odd = ops.mul(ops.sub(a, b), twiddles)
-    rb = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-    hb = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    return ops.debug_guard(
-        ops.mul(ops.add(even, ops.mul(rb, odd)), hb), "FRI fold"
-    )
+    rb = ops.broadcast_scalar(_rh_scalar(r_limbs, half_limbs), odd.shape[1:])
+    return ops.debug_guard(ops.add(even, ops.mul(rb, odd)), "FRI fold")
 
 
 def _commit_code(code) -> MerkleTree:
@@ -95,8 +105,24 @@ def _fold_and_commit(code, twiddles, r_limbs, half_limbs):
 
     Keeps the per-round host<->device traffic to a single launch; with
     remote-tunnel dispatch latency this beats separate fold/commit calls.
+    On single-chip TPU the fold and the leaf hashing run as ONE fused
+    Pallas pass (pallas_ops.fold_commit_leaves): the folded codeword is
+    hashed while still in vregs instead of being re-read from HBM.
     """
-    from .merkle import _commit_layers
+    from .merkle import _commit_layers, _tree_levels
+
+    if code.ndim == 2 and code.shape[-1] // 2 >= 4096:
+        from .config import pallas_enabled
+
+        if pallas_enabled():
+            from .field import pallas_ops
+
+            if pallas_ops.fold_commit_supported(code.shape[-1]):
+                pairs, leaf = pallas_ops.fold_commit_leaves(
+                    code, twiddles, r_limbs, half_limbs
+                )
+                layers = (leaf,) + _tree_levels(leaf)
+                return pairs.reshape(8, code.shape[-1] // 2), pairs, layers
 
     nxt = _fold_codeword(code, twiddles, r_limbs, half_limbs)
     half_n = nxt.shape[-1] // 2
@@ -122,12 +148,11 @@ def _fold_codeword_k(code, inv_pows, r_limbs, half_limbs, k: int):
 @jax.jit
 def _fold_halves(a, b, twiddles, r_limbs, half_limbs):
     """The fold formula on explicit halves - the bounded per-chunk program
-    of the big-round path."""
-    even = ops.add(a, b)
+    of the big-round path (2-multiply form, see _rh_scalar)."""
+    even = ops.half(ops.add(a, b))
     odd = ops.mul(ops.sub(a, b), twiddles)
-    rb = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-    hb = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    return ops.mul(ops.add(even, ops.mul(rb, odd)), hb)
+    rb = ops.broadcast_scalar(_rh_scalar(r_limbs, half_limbs), odd.shape[1:])
+    return ops.add(even, ops.mul(rb, odd))
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -703,14 +728,7 @@ class FriProof:
             raise FriError("incompatible last_random transcript fingerprint")
 
 
-@jax.jit
-def _coeffs_for_fri(evals):
-    """Moebius transform + coefficient bit-reversal + zero-pad.
-
-    Kept as its OWN jit, separate from the NTT scan: program boundaries
-    force standard layouts, which stops XLA from assigning the pad a
-    limb-minor layout (a 16x tile-padding blowup at 2^24).
-    """
+def _coeffs_for_fri_impl(evals):
     from .mle import bit_reverse, to_coeffs
 
     coeffs = bit_reverse(to_coeffs(evals))
@@ -719,16 +737,55 @@ def _coeffs_for_fri(evals):
     return jnp.pad(coeffs, pad_width)
 
 
+# Moebius transform + coefficient bit-reversal + zero-pad.  Kept as its
+# OWN jit, separate from the NTT scan: program boundaries force standard
+# layouts, which stops XLA from assigning the pad a limb-minor layout
+# (a 16x tile-padding blowup at 2^24).
+_coeffs_for_fri = jax.jit(_coeffs_for_fri_impl)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _coeffs_for_fri_sharded(mesh):
+    """_coeffs_for_fri pinned to hand its output back hypercube-sharded on
+    ``mesh`` so the sharded four-step NTT receives a sharded buffer
+    (unconstrained, GSPMD sometimes replicates the pad's output)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .parallel import ROWS
+
+    out = NamedSharding(mesh, PartitionSpec(None, ROWS))
+    return jax.jit(_coeffs_for_fri_impl, out_shardings=out)
+
+
 def encode_mle_for_fri(evals):
     """eval form -> bit-reversed coefficient form -> RS codeword.
 
     The coefficient bit-reversal aligns FRI's even/odd low-bit split with
     sumcheck's MSB top/bottom-half fold (reference
     multilinear_pcs.rs:101-107, Q8).
+
+    On a >1-device mesh the whole pipeline stays hypercube-sharded: the
+    Moebius/pad program pins a sharded output and the four-step NTT runs
+    with last-axis sharding constraints (local sub-NTTs, one all-to-all
+    at the central transpose - ntt._fourstep_sharded_jit).
     """
     from .field.scalar import pow2_generator
     from .ntt import fourstep_transform
 
-    padded = _coeffs_for_fri(evals)
+    mesh = None
+    if not isinstance(evals, jax.core.Tracer):
+        from .parallel.sharded_rounds import mesh_of
+
+        mesh = mesh_of(evals)
+    if mesh is not None and mesh.size > 1:
+        padded = _coeffs_for_fri_sharded(mesh)(evals)
+    else:
+        mesh = None
+        padded = _coeffs_for_fri(evals)
     log_m = padded.shape[-1].bit_length() - 1
-    return fourstep_transform(padded, pow2_generator(log_m).v, log_m, donate=True)
+    return fourstep_transform(
+        padded, pow2_generator(log_m).v, log_m, donate=True, mesh=mesh
+    )

@@ -106,6 +106,7 @@ _COMMIT_CHUNK = 1 << 22
 
 
 def _commit_layers_chunked(leaf_columns, B: int):
+    """Chunked commit as traceable ops (callers decide the jit boundary)."""
     n = leaf_columns.shape[-1]
     leaf_digs = [
         _leaf_hashes(leaf_columns[:, :, s : s + _COMMIT_CHUNK], B)
@@ -123,6 +124,17 @@ def _commit_layers_chunked(leaf_columns, B: int):
         layers.append(cur)
     layers.extend(_tree_levels(cur))
     return tuple(layers)
+
+
+# The oversized layer-0 commit as ONE device program: the eager chunk walk
+# above costs ~9 tunnel dispatches at 2^24 leaves (~10 ms latency each -
+# measured 0.27 s of the 2^24 prove's commit_l0 phase); fused it is one
+# dispatch with the same bounded chunk schedule.  Gated on
+# config.stream_oversized exactly like the streamed oversized rounds, so
+# the RESOURCE_EXHAUSTED retry path falls back to the eager chunks.
+_commit_layers_chunked_fused = partial(jax.jit, static_argnums=(1,))(
+    _commit_layers_chunked
+)
 
 
 def _gather_one(layers, leaf_columns, idx):
@@ -185,9 +197,14 @@ class MerkleTree:
         _, B, n = leaf_columns.shape
         assert n & (n - 1) == 0, "leaf count must be a power of two"
         if n > _COMMIT_FUSE_MAX:
-            return MerkleTree(
-                list(_commit_layers_chunked(leaf_columns, B)), leaf_columns
+            from .config import get_config
+
+            fn = (
+                _commit_layers_chunked_fused
+                if get_config().stream_oversized
+                else _commit_layers_chunked
             )
+            return MerkleTree(list(fn(leaf_columns, B)), leaf_columns)
         return MerkleTree(list(_commit_layers(leaf_columns, B)), leaf_columns)
 
     # -- accessors -----------------------------------------------------------

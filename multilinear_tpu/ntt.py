@@ -25,6 +25,7 @@ so a stack of B codewords transforms in one pass (used by the batched PCS).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -103,9 +104,13 @@ def inv_gen_pows(log_size: int):
     return _pow_table(pow2_generator(log_size).inv().v, log_size - 1)
 
 
-def _pease_axis2(x, pows, log_m: int):
+def _pease_axis2(x, pows, log_m: int, constrain=None):
     """Constant-geometry (Pease) DIF butterflies along axis -2, under
-    lax.scan.
+    lax.scan.  ``constrain`` (multi-chip): re-pin the scan carry's
+    last-axis sharding each stage - GSPMD does not propagate shardings
+    into scan bodies on its own and falls back to a replicated carry
+    (measured: per-device temp stuck at ~8 GiB for the 2^25 encode at
+    any mesh size without this).
 
     x: lead + (M, C).  Every stage has IDENTICAL data movement - split row
     halves, butterfly, interleave rows - so the scan body is shape-
@@ -202,8 +207,21 @@ def _pease_axis2(x, pows, log_m: int):
         p = ops.add(u, v)
         q = ops.mul(ops.sub(u, v), tw)
         out = jnp.stack([p, q], axis=-2).reshape(x.shape)
+        if constrain is not None:
+            out = constrain(out)
         return out, None
 
+    if constrain is not None:
+        # multi-chip: UNROLL the stages.  GSPMD cannot partition the scan's
+        # while-loop body here and falls back to a replicated carry - each
+        # device then runs the FULL transform between reshards (measured:
+        # ~8.6 GiB/device of temps at ANY mesh size).  Straight-line stages
+        # partition cleanly; the graph-size cost is bounded (log_m stages)
+        # and only the mesh variant pays it.
+        x = constrain(x)
+        for s in range(log_m):
+            x, _ = body(x, jnp.int32(s))
+        return x
     x, _ = jax.lax.scan(body, x, stages)
     return x
 
@@ -259,7 +277,7 @@ def _twiddle_factors_cached(gen_v: int, log_n: int):
     return _build_twiddle_factors(pows, log_n, split)
 
 
-def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
+def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int, constrain=None):
     """Four-step NTT: natural order in, natural order out.
 
     n = A*B with A, B ~ sqrt(n): column NTTs (axis -2), the twiddle
@@ -275,6 +293,19 @@ def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
     is 8.6x faster and, feeding straight into the next sub-transform's
     scan inside this one jit, no longer leaks layouts across program
     boundaries.)
+
+    ``constrain``: optional callback applying a last-axis sharding
+    constraint (multi-chip meshes - see _fourstep_sharded_jit).  With the
+    LAST axis sharded, every sub-NTT (a lax.scan of butterflies along
+    axis -2) and the twiddle multiply are collective-free local work, and
+    the one reshard GSPMD must insert is an all-to-all at the central
+    transpose - the classic distributed four-step/FFT decomposition
+    (SURVEY section 3.5; the work being distributed is the reference's
+    src/ntt/mod.rs:69-110 loop nest).  Left unconstrained, the
+    partitioner replicates the output and the per-device temp does not
+    scale down with mesh size (measured: ~9.2 GiB/device at BOTH 2 and 8
+    devices for the 2^25 encode; constrained it drops with D - pinned by
+    tests/test_sharding_scale.py).
     """
     n = 1 << log_n
     if log_n == 0:
@@ -284,12 +315,16 @@ def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
     A, B = 1 << a, 1 << b
     lead = x.shape[1:-1]
     M = x.reshape((8,) + lead + (A, B))
+    if constrain is not None:
+        M = constrain(M)  # shard B: column sub-NTTs along A are local
 
     # powers of w^B (the A-domain root) and w^A (the B-domain root)
     powsA = pows[:, ::B][:, : max(A // 2, 1)]
     powsB = pows[:, ::A][:, : max(B // 2, 1)]
 
-    F = _bitrev_axis2(_pease_axis2(M, powsA, a), a)
+    F = _bitrev_axis2(_pease_axis2(M, powsA, a, constrain), a)
+    if constrain is not None:
+        F = constrain(F)
 
     # twiddle multiply: T[a, b] = Tc[a >> split, b] * Tf[a & (S-1), b];
     # the broadcasts fuse into the muls inside this jit - no dense T
@@ -310,12 +345,19 @@ def _ntt_fourstep_impl(x, pows, Tc, Tf, log_n: int):
             Tf.reshape((8,) + lead1 + (1, S, B)), Fr.shape
         )
         G = ops.mul(ops.mul(Fr, Tc_b), Tf_b).reshape(F.shape)
+    if constrain is not None:
+        G = constrain(G)
 
     Gt = jnp.swapaxes(G, G.ndim - 2, G.ndim - 1)  # lead + (B, A)
+    if constrain is not None:
+        Gt = constrain(Gt)  # shard A: the all-to-all reshard lands HERE
 
-    H = _bitrev_axis2(_pease_axis2(Gt, powsB, b), b)
+    H = _bitrev_axis2(_pease_axis2(Gt, powsB, b, constrain), b)
     # flat(H)[k2*A + k1] = out[k1 + A*k2]: already the natural order
-    return H.reshape((8,) + lead + (n,))
+    out = H.reshape((8,) + lead + (n,))
+    if constrain is not None:
+        out = constrain(out)  # hand the codeword back hypercube-sharded
+    return out
 
 
 _ntt_fourstep = partial(jax.jit, static_argnums=(4,))(_ntt_fourstep_impl)
@@ -328,16 +370,119 @@ _ntt_fourstep_donated = partial(jax.jit, static_argnums=(4,), donate_argnums=(0,
 )
 
 
-def fourstep_transform(x, gen_v: int, log_n: int, donate: bool = False):
+@functools.lru_cache(maxsize=8)
+def _fourstep_shard_map(mesh, log_n: int, donate: bool):
+    """EXPLICIT distributed four-step NTT: shard_map with local sub-NTTs
+    and exactly three all-to-alls (the optimal reshard count for natural
+    order in, natural order out).
+
+    GSPMD left to its own devices mis-partitions the butterfly stages at
+    north-star scale - measured at the 2^25 domain on 8 virtual devices it
+    all-gathers the FULL array once per stage (81 all-gathers, ~33 GiB of
+    per-device temps), while the same program at 2^21 partitions cleanly.
+    The explicit decomposition never depends on the partitioner's cost
+    model:
+
+      local (8, A/D, B) chunk
+        --all-to-all-->  (8, A, B/D)   column NTTs along A: LOCAL
+        twiddle multiply (Tc/Tf arrive pre-sharded on B): LOCAL
+        --all-to-all-->  (8, A/D, B) -> transpose -> (8, B, A/D)
+                                        row NTTs along B: LOCAL
+        --all-to-all-->  (8, B/D, A) = the contiguous flat output chunk
+
+    Output values are bit-identical to the single-device transform (same
+    per-element op sequence; pinned by tests/test_parallel.py).  Per-device
+    memory is O(n/D) + the all-to-all buffers, and the collectives ride
+    ICI on real multi-chip meshes (SURVEY section 3.5; the loop nest being
+    distributed is reference src/ntt/mod.rs:69-110).
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from .parallel import ROWS
+
+    a = (log_n + 1) // 2
+    b = log_n - a
+    A, B = 1 << a, 1 << b
+    D = mesh.size
+
+    def body(x, powsA, powsB, Tc, Tf):
+        M = x.reshape(8, A // D, B)
+        M = jax.lax.all_to_all(M, ROWS, split_axis=2, concat_axis=1, tiled=True)
+        F = _bitrev_axis2(_pease_axis2(M, powsA, a), a)  # (8, A, B/D)
+        S = Tf.shape[-2]
+        Fr = F.reshape(8, A // S, S, B // D)
+        Tc_b = jnp.broadcast_to(Tc.reshape(8, A // S, 1, B // D), Fr.shape)
+        Tf_b = jnp.broadcast_to(Tf.reshape(8, 1, S, B // D), Fr.shape)
+        G = ops.mul(ops.mul(Fr, Tc_b), Tf_b).reshape(F.shape)
+        G = jax.lax.all_to_all(G, ROWS, split_axis=1, concat_axis=2, tiled=True)
+        Gt = jnp.swapaxes(G, 1, 2)  # (8, B, A/D)
+        H = _bitrev_axis2(_pease_axis2(Gt, powsB, b), b)
+        H = jax.lax.all_to_all(H, ROWS, split_axis=1, concat_axis=2, tiled=True)
+        return H.reshape(8, (B // D) * A)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(PS(None, ROWS), PS(), PS(), PS(None, None, ROWS), PS(None, None, ROWS)),
+        out_specs=PS(None, ROWS),
+        check_vma=False,
+    )
+    kw = {"donate_argnums": (0,)} if donate else {}
+    return jax.jit(fn, **kw)
+
+
+@functools.lru_cache(maxsize=8)
+def _fourstep_sharded_jit(mesh, donate: bool):
+    """Jitted four-step transform with last-axis sharding constraints for
+    ``mesh`` (see _ntt_fourstep_impl's ``constrain`` doc).  Cached per mesh
+    so repeated proves reuse one compiled program."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .parallel import ROWS
+
+    def constrain(x):
+        spec = PartitionSpec(*((None,) * (x.ndim - 1) + (ROWS,)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    kw = dict(static_argnums=(4,))
+    if donate:
+        kw["donate_argnums"] = (0,)
+    return partial(jax.jit, **kw)(
+        lambda x, pows, Tc, Tf, log_n: _ntt_fourstep_impl(
+            x, pows, Tc, Tf, log_n, constrain
+        )
+    )
+
+
+def fourstep_transform(x, gen_v: int, log_n: int, donate: bool = False, mesh=None):
     """Four-step transform for the domain generated by ``gen_v``.
 
     Resolves the cached power table and twiddle factors for the generator
     and dispatches the (optionally input-donating) jitted transform.
+    ``mesh``: a >1-device Mesh routes through the sharding-constrained
+    variant (auto-detected from ``x``'s sharding when None).
     """
     if log_n == 0:
         return x
     pows = _pow_table(gen_v, log_n - 1)
     Tc, Tf = _twiddle_factors_cached(gen_v, log_n)
+    if mesh is None and not isinstance(x, jax.core.Tracer):
+        from .parallel.sharded_rounds import mesh_of
+
+        mesh = mesh_of(x)
+    if mesh is not None and mesh.size > 1:
+        a = (log_n + 1) // 2
+        A, B = 1 << a, 1 << (log_n - a)
+        D = mesh.size
+        if x.ndim == 2 and A % D == 0 and B % D == 0:
+            # explicit shard_map four-step (3 all-to-alls, local sub-NTTs)
+            powsA = pows[:, ::B][:, : max(A // 2, 1)]
+            powsB = pows[:, ::A][:, : max(B // 2, 1)]
+            return _fourstep_shard_map(mesh, log_n, donate)(
+                x, powsA, powsB, Tc, Tf
+            )
+        # non-divisible / batched shapes: GSPMD with sharding constraints
+        return _fourstep_sharded_jit(mesh, donate)(x, pows, Tc, Tf, log_n)
     fn = _ntt_fourstep_donated if donate else _ntt_fourstep
     return fn(x, pows, Tc, Tf, log_n)
 

@@ -74,12 +74,13 @@ def _body(data_lo, data_hi, code_lo, code_hi, twiddles, r_limbs, half_limbs):
     rb = ops.broadcast_scalar(r_limbs, diff.shape[1:])
     new_data = ops.add(data_lo, _local_mul(rb, diff))
 
-    # FRI fold: ((a+b) + r*(a-b)*tw) / 2
-    even = ops.add(code_lo, code_hi)
+    # FRI fold: ((a+b) + r*(a-b)*tw) / 2, in the 2-multiply
+    # half(a+b) + (a-b)*tw*(r/2) form (see fri._rh_scalar)
+    even = ops.half(ops.add(code_lo, code_hi))
     odd = _local_mul(ops.sub(code_lo, code_hi), twiddles)
-    rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-    hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    new_code = _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+    rh = ops.mul(r_limbs.reshape(8, 1), half_limbs.reshape(8, 1))[:, 0]
+    rb2 = ops.broadcast_scalar(rh, odd.shape[1:])
+    new_code = ops.add(even, _local_mul(rb2, odd))
     return partial, new_data, new_code
 
 

@@ -75,12 +75,13 @@ def _psums_body(d_lo, d_hi):
 
 
 def _code_fold_body(c_lo, c_hi, tw, r_limbs, half_limbs):
-    """Local FRI fold: ((a+b) + r*(a-b)*tw) / 2."""
-    even = ops.add(c_lo, c_hi)
+    """Local FRI fold: ((a+b) + r*(a-b)*tw) / 2, in the 2-multiply
+    half(a+b) + (a-b)*tw*(r/2) form (see fri._rh_scalar)."""
+    even = ops.half(ops.add(c_lo, c_hi))
     odd = _local_mul(ops.sub(c_lo, c_hi), tw)
-    rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-    hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-    return _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+    rh = ops.mul(r_limbs.reshape(8, 1), half_limbs.reshape(8, 1))[:, 0]
+    rb2 = ops.broadcast_scalar(rh, odd.shape[1:])
+    return ops.add(even, _local_mul(rb2, odd))
 
 
 def _folds_body(d_lo, d_hi, c_lo, c_hi, tw, r_limbs, half_limbs):
@@ -162,16 +163,17 @@ def _folds_body_big(d_lo, d_hi, c_lo, c_hi, tw, r_limbs, half_limbs, C: int):
         0, nd // C, dbody, jnp.zeros((8, w1, nd), jnp.uint32)
     )
 
+    rh = ops.mul(r_limbs.reshape(8, 1), half_limbs.reshape(8, 1))[:, 0]
+
     def cbody(i, out):
         s = i * C
         a = jax.lax.dynamic_slice(c_lo, (0, s), (8, C))
         b = jax.lax.dynamic_slice(c_hi, (0, s), (8, C))
         t = jax.lax.dynamic_slice(tw, (0, s), (8, C))
-        even = ops.add(a, b)
+        even = ops.half(ops.add(a, b))
         odd = _local_mul(ops.sub(a, b), t)
-        rb2 = ops.broadcast_scalar(r_limbs, odd.shape[1:])
-        hb2 = ops.broadcast_scalar(half_limbs, odd.shape[1:])
-        nxt = _local_mul(ops.add(even, _local_mul(rb2, odd)), hb2)
+        rb2 = ops.broadcast_scalar(rh, odd.shape[1:])
+        nxt = ops.add(even, _local_mul(rb2, odd))
         return jax.lax.dynamic_update_slice(out, nxt, (0, s))
 
     new_code = jax.lax.fori_loop(

@@ -104,16 +104,66 @@ def test_fold_kernel_math_parity():
             out[i] = np.asarray(v)
 
     half = m // 2
+    rh = ops.mul(r.reshape(8, 1), h.reshape(8, 1))[:, 0]  # r * 2^{-1}
     pallas_ops._fold_kernel(
         _Ref(code[:, :half]),
         _Ref(code[:, half:]),
         _Ref(tw),
-        _Ref(r.reshape(8, 1)),
-        _Ref(h.reshape(8, 1)),
+        _Ref(rh.reshape(8, 1)),
         _Out(),
     )
     want = fri_mod._fold_codeword(code, tw, r, h)
     assert np.array_equal(out, np.asarray(want))
+
+
+def test_fold_commit_kernel_math_parity():
+    """The fused fold+leaf-hash kernel body == fold + Merkle leaf hashing."""
+    from multilinear_tpu import fri as fri_mod
+    from multilinear_tpu.sha256 import limbs_to_words, sha256_words
+
+    rng = np.random.default_rng(15)
+    m = 512
+    q = m // 4
+    code = _pack(_rand_vals(rng, m))
+    tw = _pack(_rand_vals(rng, m // 2))
+    r = jnp.asarray(limbs.pack_scalar(Fp(246813579246813579)))
+    h = jnp.asarray(limbs.pack_scalar(TWO_INV))
+    rh = ops.mul(r.reshape(8, 1), h.reshape(8, 1))[:, 0]
+
+    class _Ref:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, i):
+            return self.arr[i]
+
+    pairs = np.zeros((8, 2, q), np.uint32)
+    digs = np.zeros((8, q), np.uint32)
+
+    class _Pairs:
+        def __setitem__(self, key, v):
+            i, k = key
+            pairs[i, k] = np.asarray(v)
+
+    class _Digs:
+        def __setitem__(self, i, v):
+            digs[i] = np.asarray(v)
+
+    pallas_ops._fold_commit_kernel(
+        _Ref(code.reshape(8, 4, q)),
+        _Ref(tw.reshape(8, 2, q)),
+        _Ref(rh.reshape(8, 1)),
+        _Pairs(),
+        _Digs(),
+    )
+    nxt = fri_mod._fold_codeword(code, tw, r, h)
+    want_pairs = np.asarray(nxt).reshape(8, 2, q)
+    assert np.array_equal(pairs, want_pairs)
+    words = jnp.concatenate(
+        [limbs_to_words(nxt[:, :q]), limbs_to_words(nxt[:, q:])], axis=0
+    )
+    want_digs = np.asarray(sha256_words(words, 8))
+    assert np.array_equal(digs, want_digs)
 
 
 def test_butterfly_kernel_math_parity():

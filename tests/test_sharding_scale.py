@@ -143,6 +143,132 @@ def test_chunked_shard_map_round_fits_2_devices_at_2pow24(mesh2):
     print(f"2-dev chunked-shard_map per-device arg={arg>>20} MiB peak={peak>>20} MiB")
 
 
+def _encode_fn_and_args(mesh, log_n: int):
+    """The sharded encode exactly as encode_mle_for_fri dispatches it on a
+    mesh: the Moebius/bitrev/pad program pinned to a sharded output feeding
+    the EXPLICIT shard_map four-step (local sub-NTTs + 3 all-to-alls), plus
+    ShapeDtypeStructs at 2^log_n evals (codeword 2^{log_n+1})."""
+    import jax.numpy as jnp
+
+    from multilinear_tpu.fri import _coeffs_for_fri_impl
+    from multilinear_tpu.ntt import LOG_BLOWUP, _fourstep_shard_map
+
+    log_m = log_n + LOG_BLOWUP
+    a = (log_m + 1) // 2
+    b = log_m - a
+    A, B = 1 << a, 1 << b
+    S = 1 << (a // 2)
+
+    def constrain(x):
+        spec = P(*((None,) * (x.ndim - 1) + (ROWS,)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    fourstep = _fourstep_shard_map(mesh, log_m, False)
+
+    def encode(evals, powsA, powsB, Tc, Tf):
+        padded = constrain(_coeffs_for_fri_impl(evals))
+        return fourstep(padded, powsA, powsB, Tc, Tf)
+
+    def sds(shape, spec):
+        return jax.ShapeDtypeStruct(
+            shape, jnp.uint32, sharding=NamedSharding(mesh, spec)
+        )
+
+    args = (
+        sds((8, 1 << log_n), P(None, ROWS)),
+        sds((8, A // 2), P()),
+        sds((8, B // 2), P()),
+        sds((8, A // S, B), P(None, None, ROWS)),
+        sds((8, S, B), P(None, None, ROWS)),
+    )
+    return jax.jit(encode), args
+
+
+@pytest.mark.slow
+def test_sharded_encode_fits_and_scales_at_2pow24(mesh8, mesh2):
+    """North-star-size sharded ENCODE artifact (round-3 VERDICT item 4).
+
+    AOT-compiles the 2^24-eval / 2^25-codeword encode (Moebius + bitrev +
+    pad + four-step NTT) under 2- and 8-device meshes and pins:
+
+    * the codeword output stays sharded (unconstrained, GSPMD replicates
+      it - measured 1024 MiB/dev at every mesh size);
+    * per-device peak memory fits HBM with headroom AND shrinks with mesh
+      size (the unconstrained lowering was flat at ~10.8 GiB/dev for both
+      2 and 8 devices - i.e. not actually distributing the transform);
+    * the compiled HLO contains the expected reshard collectives around
+      the four-step transposes (all-to-all / collective-permute) - the
+      distributed-FFT decomposition of SURVEY section 3.5 (the loop nest
+      being sharded is reference src/ntt/mod.rs:69-110).
+    """
+    peaks = {}
+    for mesh in (mesh2, mesh8):
+        fn, args = _encode_fn_and_args(mesh, LOG_N)
+        compiled = fn.lower(*args).compile()
+        ma = compiled.memory_analysis()
+        peak = (
+            ma.argument_size_in_bytes
+            + ma.output_size_in_bytes
+            + ma.temp_size_in_bytes
+            - ma.alias_size_in_bytes
+        )
+        arg = ma.argument_size_in_bytes
+        assert arg < 0.7 * _global_arg_bytes(args), "arguments look replicated"
+        out_sh = jax.tree.leaves(compiled.output_shardings)[0]
+        assert not out_sh.is_fully_replicated, "codeword output was replicated"
+        hlo = compiled.as_text()
+        assert ("all-to-all" in hlo) or ("collective-permute" in hlo), (
+            "no reshard collective around the four-step transpose"
+        )
+        peaks[mesh.size] = peak
+        print(f"{mesh.size}-dev encode peak={peak>>20} MiB/dev")
+    # fits with headroom, and the per-device footprint actually scales down
+    assert peaks[2] < 8 * 1024**3, f"2-dev peak {peaks[2]>>20} MiB"
+    assert peaks[8] < 0.75 * peaks[2], (
+        f"per-device peak does not scale: {peaks[8]>>20} vs {peaks[2]>>20} MiB"
+    )
+
+
+def _quad_composition(cols, aux=None):
+    """Degree-2 width-4 constraint composition (a real SNARK-shaped row
+    expression, not the identity): c0*c1 + c2 - c3."""
+    return cols[0] * cols[1] + cols[2] - cols[3]
+
+
+@pytest.mark.slow
+def test_trace_sumcheck_round_fits_2_devices_at_2pow24x4(mesh2):
+    """The streamed trace-sumcheck round (the SNARK's inner loop) at the
+    BASELINE.json config-5 scale: a 2^24-row, 4-column trace (packed table
+    (8, 5, 2^24) = 2.5 GiB global).  AOT under a 2-device mesh: sharded
+    arguments, bounded per-device peak, sharded folded-table output."""
+    import jax.numpy as jnp
+
+    from multilinear_tpu.sumcheck import _device_sc_round
+
+    h = 1 << LOG_N
+    shard3 = NamedSharding(mesh2, P(None, None, ROWS))
+    rep = NamedSharding(mesh2, P())
+
+    def sds(shape, sharding):
+        return jax.ShapeDtypeStruct(shape, jnp.uint32, sharding=sharding)
+
+    data = sds((8, 5, h), shard3)
+    tr_state = (sds((8,), rep), sds((16,), rep), sds((), rep), sds((), rep))
+    prev = sds((8,), rep)
+    vinv = sds((3, 3, 8), rep)
+    aux = sds((0, 8), rep)
+    compiled = _device_sc_round.lower(
+        data, tr_state, prev, vinv, aux, 2, _quad_composition
+    ).compile()
+    arg, peak = _assert_memory(
+        compiled, mesh2, _global_arg_bytes((data, tr_state, prev, vinv, aux)),
+        budget=12 * 1024**3,
+    )
+    out_sh = jax.tree.leaves(compiled.output_shardings)[0]  # new_data
+    assert not out_sh.is_fully_replicated, "folded table was replicated"
+    print(f"2-dev trace-sc round per-device arg={arg>>20} MiB peak={peak>>20} MiB")
+
+
 @pytest.mark.slow
 def test_oversized_chunked_round_fits_2_devices_at_2pow24(mesh2):
     """The GSPMD chunked oversized round at 2^24 under 2 devices - now

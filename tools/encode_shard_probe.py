@@ -46,11 +46,22 @@ def main() -> int:
     A, B = 1 << a, 1 << b
     S = 1 << (a // 2)
 
+    from jax.sharding import NamedSharding as NS
+
+    def constrain(x):
+        spec = P(*((None,) * (x.ndim - 1) + (ROWS,)))
+        return jax.lax.with_sharding_constraint(x, NS(mesh, spec))
+
     def encode(evals, pows, Tc, Tf):
         padded = _coeffs_for_fri(evals)
         return _ntt_fourstep_impl(padded, pows, Tc, Tf, log_m)
 
+    def encode_constrained(evals, pows, Tc, Tf):
+        padded = constrain(_coeffs_for_fri(evals))
+        return _ntt_fourstep_impl(padded, pows, Tc, Tf, log_m, constrain)
+
     fn = jax.jit(encode)
+    fnc = jax.jit(encode_constrained)
 
     def sds(shape, spec):
         return jax.ShapeDtypeStruct(
@@ -58,24 +69,26 @@ def main() -> int:
         )
 
     cases = {
-        "evals_rows_tw_repl": (
+        "constrained_tw_repl": (
+            fnc,
             sds((8, 1 << log_n), P(None, ROWS)),
             sds((8, 1 << (log_m - 1)), P()),
             sds((8, A // S, B), P()),
             sds((8, S, B), P()),
         ),
-        "evals_rows_tw_rows": (
+        "evals_rows_tw_repl": (
+            fn,
             sds((8, 1 << log_n), P(None, ROWS)),
-            sds((8, 1 << (log_m - 1)), P(None, ROWS)),
-            sds((8, A // S, B), P(None, None, ROWS)),
-            sds((8, S, B), P(None, None, ROWS)),
+            sds((8, 1 << (log_m - 1)), P()),
+            sds((8, A // S, B), P()),
+            sds((8, S, B), P()),
         ),
     }
 
-    for name, args in cases.items():
+    for name, (f, *args) in cases.items():
         print(f"== {name} ({ndev} devices, 2^{log_n} evals)")
         try:
-            lowered = fn.lower(*args)
+            lowered = f.lower(*args)
             compiled = lowered.compile()
         except Exception as e:  # noqa: BLE001
             print(f"  FAILED: {type(e).__name__}: {str(e)[:200]}")

@@ -98,6 +98,25 @@ def main() -> int:
     failures += not okay
     print(f"fold 2^23->2^22: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
 
+    # --- fused fold + leaf-hash round kernel ------------------------------
+    from multilinear_tpu.merkle import _commit_layers
+
+    _set_pallas(False)
+    want_nxt, _ = _timed(fri_mod._fold_codeword, code, tw, r, h)
+    want_layers, _ = _timed(
+        lambda nx: _commit_layers(nx.reshape(8, 2, nx.shape[-1] // 2), 2), want_nxt
+    )
+    _set_pallas(True)
+    (got_nxt, got_pairs, got_layers), dt = _timed(
+        fri_mod._fold_and_commit, code, tw, r, h
+    )
+    okay = np.array_equal(np.asarray(want_nxt), np.asarray(got_nxt)) and all(
+        np.array_equal(np.asarray(w), np.asarray(g))
+        for w, g in zip(want_layers, got_layers)
+    )
+    failures += not okay
+    print(f"fold+commit 2^23: {'OK' if okay else 'MISMATCH'}  pallas={dt*1e3:.2f} ms")
+
     # --- SHA-256 ---------------------------------------------------------
     msgs = jnp.asarray(rng.integers(0, 1 << 32, size=(16, 1 << 20), dtype=np.uint32))
     _set_pallas(False)
