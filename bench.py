@@ -80,19 +80,26 @@ def _record_tpu_line(d: dict) -> None:
         pass
 
 
-def _newest_tpu_history() -> dict | None:
-    """Newest (by append order) PCS line from the TPU history, preferring
-    the largest log_n among entries from the newest recorded session."""
+def _newest_tpu_history(metric_prefix: str = "pcs_prove_wall_clock") -> dict | None:
+    """The newest committed TPU line for the LARGEST benchmarked size.
+
+    Picks the newest entry PER log_n, then the largest log_n among those —
+    no session window.  (The round-4 fallback restricted to entries within
+    2 h of the newest and picked a 2^22 line as the round record while a
+    newer-round 2^24 = 1.532 s line sat 2.3 h earlier in the file.)
+    """
     try:
         with open(_HISTORY_PATH) as f:
             entries = [json.loads(ln) for ln in f if ln.strip()]
     except (OSError, ValueError):
         return None
+    entries = [e for e in entries if str(e.get("metric", "")).startswith(metric_prefix)]
     if not entries:
         return None
-    newest = entries[-1]["measured_at_unix"]
-    session = [e for e in entries if newest - e["measured_at_unix"] < 7200]
-    return max(session, key=lambda e: e.get("log_n", 0))
+    newest_per_logn: dict = {}
+    for e in entries:  # append order = chronological; later wins
+        newest_per_logn[e.get("log_n", 0)] = e
+    return newest_per_logn[max(newest_per_logn)]
 
 
 def _baseline(metric: str, log_n: int) -> float:

@@ -104,13 +104,32 @@ def _canon_sub_p(limbs):
 # instead of the 3L-product schoolbook.
 _K_SHIFT_MUL = np.uint32(11520)  # 45 * 2^8
 
+# Which reduction-fold form to trace.  The K-shift form is a measured win
+# on TPU (fewer lane multiplies, round-4 BENCH history), but XLA:CPU's
+# compile time explodes on it at rank-3 value shapes: _fold_kernel at
+# (8, 2, 1024) compiles in 2.3 s with the schoolbook form vs >300 s with
+# K-shift (round-4 verdict weak #1; reproduce with tools/compile_probe.py).
+# Both forms produce identical canonical values (pinned by every golden /
+# parity test), so the choice is made per backend at TRACE time.  Tests
+# can force a form via this module global.
+_FORCE_KSHIFT = None  # None = auto (TPU yes, others no); True/False force
 
-def _mul_k(hi):
-    """Multiply a clean limb list (len L) by K (3 limbs); returns L+3 clean limbs.
 
-    Computed as (11520*hi) << 32  minus  hi (see _K_SHIFT_MUL): the shifted
-    product A >= hi always, so the subtract chain never underflows, and
-    K*hi < 2^46 * 2^(16L) fits L+3 limbs with zero final carry.
+def _use_kshift() -> bool:
+    if _FORCE_KSHIFT is not None:
+        return _FORCE_KSHIFT
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _mul_k_shift(hi):
+    """K * hi via the K-shift identity (TPU form; see _K_SHIFT_MUL).
+
+    Computed as (11520*hi) << 32  minus  hi: the shifted product A >= hi
+    always, so the subtract chain never underflows, and K*hi < 2^46 *
+    2^(16L) fits L+3 limbs with zero final carry.
     """
     L = len(hi)
     zero = jnp.zeros_like(hi[0])
@@ -128,8 +147,26 @@ def _mul_k(hi):
     return d
 
 
-def _fold_ge8(t):
-    """Fold a clean limb list of length > 8 once: t[:8] + K * t[8:].
+def _mul_k_wide(hi):
+    """K * hi via the 3-limb schoolbook product (XLA:CPU-friendly form).
+
+    Column accumulators stay < 3 * 2^16 < 2^18; tree-merged like `mul`.
+    """
+    L = len(hi)
+    k_arrs = [jnp.broadcast_to(k, hi[0].shape) for k in _K]
+    cols = _wide_mul_cols(hi, k_arrs)  # L+3 columns
+    out, _carry = _carry_normalize(cols, L + 3)
+    # K*hi < 2^46 * 2^(16L) fits in L+3 limbs; final carry provably 0.
+    return out
+
+
+def _mul_k(hi):
+    """Multiply a clean limb list (len L) by K (3 limbs); returns L+3 clean limbs."""
+    return _mul_k_shift(hi) if _use_kshift() else _mul_k_wide(hi)
+
+
+def _fold_ge8_shift(t):
+    """K-shift fold (TPU form; see _use_kshift for why it is gated).
 
     Fused as  t_lo + ((11520*t_hi) << 32)  minus  t_hi  (see _K_SHIFT_MUL):
     L lane multiplies instead of 3L.  Returns (limbs, carry) with
@@ -153,6 +190,22 @@ def _fold_ge8(t):
     a, ca = _carry_normalize(cols, n)  # A < 2^128 + 2^(16L+46)
     d, borrow = _sub_chain(a, hi + [zero] * (n - L))
     return d, ca - borrow
+
+
+def _fold_ge8_wide(t):
+    """Schoolbook fold: lo + K*hi via _mul_k_wide then one add chain."""
+    lo, hi = t[:8], t[8:]
+    kh = _mul_k_wide(hi)  # len(hi)+3 clean limbs
+    n = max(8, len(kh))
+    a = lo + [jnp.zeros_like(lo[0])] * (n - 8)
+    b = kh + [jnp.zeros_like(lo[0])] * (n - len(kh))
+    s, carry = _add_chain(a, b)
+    return s, carry
+
+
+def _fold_ge8(t):
+    """Fold a clean limb list of length > 8 once: t[:8] + K * t[8:]."""
+    return _fold_ge8_shift(t) if _use_kshift() else _fold_ge8_wide(t)
 
 
 # ---------------------------------------------------------------------------
