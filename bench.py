@@ -597,11 +597,13 @@ def main():
         "vs_baseline": round(baseline / dt, 3),
         **extra,
     }
-    if args.metric == "pcs":
-        import jax
+    # Every metric's successful TPU measurement self-records (round-4
+    # verdict item 4: only PCS lines reached the history, so the round
+    # record had no NTT/FRI/sumcheck/batched/SNARK trail).
+    import jax
 
-        if jax.default_backend() == "tpu":
-            _record_tpu_line({**line, "log_n": args.log_n})
+    if jax.default_backend() == "tpu":
+        _record_tpu_line({**line, "log_n": args.log_n})
     print(json.dumps(line))
 
 

@@ -42,6 +42,17 @@ class ProverConfig:
     # per-program footprint; prove_with_retry turns this off under OOM
     # pressure.  Bit-identical either way (pinned by tests).
     stream_round_pairs: bool = True
+    # Fuse FOUR consecutive streamed PCS rounds when the leading codeword
+    # is at or below this size (and all four rounds would stream).  The
+    # tunnel's per-dispatch floor (~9-26 ms) dominates mid/small rounds
+    # whose compute is a few ms; quads cut the tail's dispatch count in
+    # half again vs pairs.  The top rounds keep the pair program (their
+    # graphs/live sets are the large ones).  None = auto: 2^21 on a TPU
+    # backend, 0 (disabled) elsewhere - XLA:CPU's compile time is
+    # superlinear in program size (the quad takes ~300 s vs ~30 s for the
+    # pair, tools/compile_probe.py methodology).  0 disables.
+    # Bit-identical either way (pinned by tests + tools/tpu_checks.py).
+    stream_round_quad_max_code: Optional[int] = None
     # Pallas (Mosaic) kernels for the hot primitives (field mul, FRI fold,
     # SHA-256 layers).  None = auto: on when running on a single real TPU
     # device; off on CPU and under multi-device GSPMD sharding (Pallas
@@ -100,6 +111,16 @@ class ProverConfig:
     # crossover is where pass(h0) ~ dispatch: h0 ~ 2^17; 2^16 keeps slack
     # for wider tables.  Byte-identical everywhere (pinned).
     sc_scan_tail_height: Optional[int] = None
+    # Standalone-sumcheck ONE-DISPATCH mode: the whole protocol (streamed
+    # rounds at shrinking shapes + the fixed-shape scan tail) as a single
+    # device program (sumcheck._sc_fused_all) - per-dispatch tunnel
+    # latency (~9 ms) was the dominant cost at 2^20 (0.208 s vs the
+    # 0.199 s C++ single-core baseline, round 4).  The program embeds the
+    # user composition n_stream+1 times, which XLA:CPU cannot compile in
+    # reasonable time for real compositions (round-2 round-pair lesson),
+    # so None = auto: on for a TPU backend only.  Byte-identical
+    # transcripts either way (pinned by tests at tiny shapes).
+    sc_one_dispatch: Optional[bool] = None
     # Debug-mode limb sanitizer (the TPU analog of a memory sanitizer,
     # SURVEY.md section 5): when True, protocol-boundary kernels attach a
     # host callback asserting every field element is canonical (16-bit
@@ -129,6 +150,32 @@ def sc_scan_tail_value() -> int:
     if cfg.sc_scan_tail_height is not None:
         return cfg.sc_scan_tail_height
     return 1 << 16
+
+
+def stream_round_quad_value() -> int:
+    """Resolve the 4-round-fusion size cap (see the field doc)."""
+    cfg = get_config()
+    if cfg.stream_round_quad_max_code is not None:
+        return cfg.stream_round_quad_max_code
+    import jax
+
+    try:
+        return (1 << 21) if jax.default_backend() == "tpu" else 0
+    except Exception:
+        return 0
+
+
+def sc_one_dispatch_enabled() -> bool:
+    """Resolve the one-dispatch standalone-sumcheck gate (see the field doc)."""
+    cfg = get_config()
+    if cfg.sc_one_dispatch is not None:
+        return cfg.sc_one_dispatch
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def pallas_enabled() -> bool:

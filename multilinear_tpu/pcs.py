@@ -160,6 +160,30 @@ def _device_pcs_round2(data, code, inv_pows, tr_state, prev_sum, k: int):
     return d2, c2, (pairs_a, layers_a), (pairs_b, layers_b), tr, (meta_a, meta_b)
 
 
+@partial(jax.jit, static_argnums=(5,))
+def _device_pcs_round4(data, code, inv_pows, tr_state, prev_sum, k: int):
+    """FOUR consecutive streamed PCS rounds in ONE device program.
+
+    Same shared body as ``_device_pcs_round2`` (bit-identical transcript),
+    gated to MID-SIZE rounds (config.stream_round_quad_max_code): the
+    dispatch floor over the axon tunnel is ~9-26 ms, so for rounds whose
+    per-round compute is only a few ms the dispatch count IS the cost.
+    The top rounds keep the pair program (their graphs and live sets are
+    the big ones), and compile cost stays bounded because the quad only
+    exists at sizes where the traced bodies are small.
+    """
+    outs = []
+    d, c, prev = data, code, prev_sum
+    tr = tr_state
+    for i in range(4):
+        d, c, pairs, layers, tr, meta = _pcs_round_body(
+            d, c, inv_pows, tr, prev, k + i
+        )
+        prev = meta[3]
+        outs.append((pairs, layers, meta))
+    return d, c, tuple(outs), tr
+
+
 @partial(jax.jit, static_argnums=(5, 6))
 def _device_pcs_round_big(data, code, inv_pows, tr_state, prev_sum, k: int, C: int):
     """One COMPLETE OVERSIZED PCS round on device, Fiat-Shamir included.
@@ -298,8 +322,40 @@ def _device_rounds(
             )
             stats.bump("rounds_streamed_oversized")
         else:
-            # fuse with the NEXT round when it would also stream (same
-            # conditions at half the code size) - one dispatch, one program
+            # fuse FOUR rounds for mid-size codewords (the dispatch floor
+            # dominates there; see _device_pcs_round4)...
+            def _streams(sz: int) -> bool:
+                return sz > blowup and sz > HOST_THRESHOLD()
+
+            from .config import stream_round_quad_value
+
+            quad_max = stream_round_quad_value()
+            if (
+                cfg.stream_round_pairs
+                and quad_max
+                and m <= quad_max
+                and all(_streams(half >> i) for i in range(1, 4))
+            ):
+                new_data, nxt, quad_outs, tr_state = _device_pcs_round4(
+                    tables.data,
+                    fri_data._current,
+                    inv_pows,
+                    tr_state,
+                    prev,
+                    start_k + k,
+                )
+                tables.apply_folded(new_data, levels=4)
+                fri_data._current = nxt
+                for pairs_i, layers_i, meta_i in quad_outs:
+                    fri_data.trees.append(MerkleTree(list(layers_i), pairs_i))
+                    outs.append(meta_i)
+                prev = quad_outs[-1][2][3]
+                stats.bump("rounds_streamed", 4)
+                stats.bump("rounds_streamed_quad", 4)
+                k += 4
+                continue
+            # ...else fuse with the NEXT round when it would also stream
+            # (same conditions at half the code size) - one dispatch
             quarter = half // 2
             if (
                 cfg.stream_round_pairs

@@ -380,7 +380,6 @@ def _sc_round_body(data, tr_state, prev, vinv, aux_limbs, total_degree: int, com
 _device_sc_round = partial(jax.jit, static_argnums=(5, 6))(_sc_round_body)
 
 
-@partial(jax.jit, static_argnums=(6, 7))
 def _sc_scan_tail(data, tr_state, prev, vinv, aux_limbs, halfs, total_degree: int, composition):
     """ALL remaining standalone-sumcheck rounds as ONE device program.
 
@@ -467,6 +466,113 @@ def _sc_scan_tail(data, tr_state, prev, vinv, aux_limbs, halfs, total_degree: in
     return data, tr_state, prev, ys
 
 
+# NOTE: the jitted wrapper keeps the plain body's name so the persistent
+# compilation cache keys (which include the HLO module name,
+# "jit__sc_scan_tail") survive the round-5 refactor that exposed the body
+# for reuse by _sc_fused_all.
+_sc_scan_tail_jit = partial(jax.jit, static_argnums=(6, 7))(_sc_scan_tail)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _sc_fused_all(
+    data, tr_state, prev, vinv, aux_limbs, halfs, n_stream: int, total_degree: int, composition
+):
+    """The ENTIRE standalone sumcheck as ONE device program.
+
+    ``n_stream`` complete rounds at shrinking static shapes (the same op
+    sequence as n_stream ``_device_sc_round`` dispatches), then the
+    fixed-shape masked scan over the remaining ``len(halfs)`` rounds -
+    byte-identical to the streamed + scan-tail path (pinned by tests),
+    but one dispatch instead of n_stream+1.  Per-dispatch tunnel latency
+    (~9 ms) was the dominant standalone-sumcheck cost at 2^20 (round-4
+    BASELINE table: 0.208 s vs the 0.199 s single-core baseline), so
+    collapsing the dispatch count is the whole point.
+
+    Compile-time note: the trace composition is embedded n_stream+1 times
+    (round-2 showed embedding a user composition TWICE in one program
+    explodes XLA:CPU compile); this program is gated to TPU by
+    config.sc_one_dispatch where the Mosaic/XLA:TPU pipeline handles it,
+    and tests pin parity at tiny shapes.
+    """
+    metas = []
+    for _ in range(n_stream):
+        data, tr_state, meta = _sc_round_body(
+            data, tr_state, prev, vinv, aux_limbs, total_degree, composition
+        )
+        prev = meta[2]
+        metas.append(meta)
+    data, tr_state, prev, ys = _sc_scan_tail(
+        data, tr_state, prev, vinv, aux_limbs, halfs, total_degree, composition
+    )
+    return data, tr_state, prev, tuple(metas), ys
+
+
+def _device_sc_fused(tables, transcript, previous_sum, total_degree, composition, aux=None):
+    """Dispatch the whole sumcheck as one device program when profitable.
+
+    Returns (rounds_done, pols, randoms, new_previous_sum); 0 rounds when
+    the fused path is not applicable (host tables, oversized, gated off,
+    non-word-aligned transcript, or nothing above the scan floor - the
+    plain scan tail is already one dispatch there)."""
+    from . import device_transcript as dtr
+    from .config import get_config, sc_one_dispatch_enabled, sc_scan_tail_value
+
+    cfg = get_config()
+    h0 = tables.height
+    floor = min(sc_scan_tail_value(), cfg.fused_round_max_code)
+    if (
+        not sc_one_dispatch_enabled()
+        or tables.on_host
+        or h0 <= floor          # scan tail alone already does one dispatch
+        or h0 > cfg.fused_round_max_code
+        or floor < 2
+    ):
+        return 0, [], [], previous_sum
+    try:
+        tr_state = dtr.state_from_host(transcript)
+    except ValueError:
+        return 0, [], [], previous_sum
+    from . import stats
+
+    n_stream = (h0 // floor).bit_length() - 1
+    n_scan = floor.bit_length() - 1
+    halfs = jnp.asarray([floor >> (i + 1) for i in range(n_scan)], jnp.int32)
+    vinv = _vandermonde_inv_limbs(total_degree + 1)
+    aux_limbs = _aux_limbs_arr(aux)
+    prev = jnp.asarray(limbs.pack_scalar(previous_sum))
+    data, tr_state, prev, metas, ys = _sc_fused_all(
+        tables.data, tr_state, prev, vinv, aux_limbs, halfs,
+        n_stream, total_degree, composition,
+    )
+    n_rounds = n_stream + n_scan
+    stats.bump("sc_rounds_fused_one_dispatch", n_rounds)
+    (metas_h, (rs_h, coeffs_h)), tr_h, prev_h = device_get_tree(
+        ((metas, ys), tr_state, prev)
+    )
+    pols = []
+    randoms = []
+    for r_l, cs, _p in metas_h:
+        pols.append(
+            SumcheckPoly(
+                [Fp(limbs.unpack_int(np.asarray(cs[i]))) for i in range(cs.shape[0])]
+            )
+        )
+        randoms.append(Fp(limbs.unpack_int(np.asarray(r_l))))
+    for k in range(n_scan):
+        pols.append(
+            SumcheckPoly(
+                [
+                    Fp(limbs.unpack_int(np.asarray(coeffs_h[k, i])))
+                    for i in range(coeffs_h.shape[1])
+                ]
+            )
+        )
+        randoms.append(Fp(limbs.unpack_int(np.asarray(rs_h[k]))))
+    tables.apply_folded(data[..., :1], levels=n_rounds)
+    transcript._state = dtr.state_to_host(tr_h)._state
+    return n_rounds, pols, randoms, Fp(limbs.unpack_int(np.asarray(prev_h)))
+
+
 def _device_sc_scan_tail(tables, transcript, previous_sum, total_degree, composition, aux=None):
     """Dispatch the scan-tail program when the whole remaining table fits.
 
@@ -497,7 +603,7 @@ def _device_sc_scan_tail(tables, transcript, previous_sum, total_degree, composi
     vinv = _vandermonde_inv_limbs(total_degree + 1)
     aux_limbs = _aux_limbs_arr(aux)
     prev = jnp.asarray(limbs.pack_scalar(previous_sum))
-    data, tr_state, prev, ys = _sc_scan_tail(
+    data, tr_state, prev, ys = _sc_scan_tail_jit(
         tables.data, tr_state, prev, vinv, aux_limbs, halfs, total_degree, composition
     )
     stats.bump("sc_rounds_scanned", n_rounds)
@@ -854,14 +960,19 @@ class SumcheckTables:
         prev = sum_value
         k = 0
         while k < n_rounds:
-            # the whole remaining tail in ONE device dispatch when it fits
-            # (see _sc_scan_tail); otherwise stream complete rounds on
-            # device (zero per-round host sync) while shapes fit the
-            # program budget; host-driven rounds (with chunked kernels for
-            # oversized tables) cover the rest.
-            done, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
+            # the whole PROTOCOL in one device dispatch when profitable
+            # (TPU, see _sc_fused_all); else the remaining tail in one
+            # dispatch (see _sc_scan_tail); otherwise stream complete
+            # rounds on device (zero per-round host sync) while shapes fit
+            # the program budget; host-driven rounds (with chunked kernels
+            # for oversized tables) cover the rest.
+            done, dev_pols, dev_randoms, prev2 = _device_sc_fused(
                 self, transcript, prev, total_degree, composition, aux
             )
+            if not done:
+                done, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
+                    self, transcript, prev, total_degree, composition, aux
+                )
             if not done:
                 done, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
                     self, transcript, prev, total_degree, composition, aux

@@ -389,7 +389,7 @@ class SnarkProverSession:
         engines exactly as ``compute_all_rounds``; bounded runs step one
         host-driven round at a time to keep checkpoint boundaries exact.
         """
-        from .sumcheck import _device_sc_rounds, _device_sc_scan_tail
+        from .sumcheck import _device_sc_fused, _device_sc_rounds, _device_sc_scan_tail
 
         comp = self.system.constraints.composition_fn()
         total_degree = self.system.constraints.degree + 1
@@ -400,10 +400,15 @@ class SnarkProverSession:
         done = 0
         while self.k < end:
             if max_rounds is None:
-                d, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
+                d, dev_pols, dev_randoms, prev2 = _device_sc_fused(
                     self.tables, self.transcript, self.previous_sum,
                     total_degree, comp, aux,
                 )
+                if not d:
+                    d, dev_pols, dev_randoms, prev2 = _device_sc_scan_tail(
+                        self.tables, self.transcript, self.previous_sum,
+                        total_degree, comp, aux,
+                    )
                 if not d:
                     d, dev_pols, dev_randoms, prev2 = _device_sc_rounds(
                         self.tables, self.transcript, self.previous_sum,

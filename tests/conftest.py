@@ -19,7 +19,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic kernels are expensive to
 # compile (big unrolled integer graphs); cache them across test runs.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+# MLT_JAX_CACHE overrides the location (point it at an empty dir to measure
+# a true cold run without sacrificing the committed warm cache).
+_cache_dir = os.environ.get(
+    "MLT_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

