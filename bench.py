@@ -318,9 +318,15 @@ def bench_snark(log_n: int):
         dt = time.perf_counter() - t0
         return proof, dt
 
-    run()
-    proof, dt = run()
-    _, dt2 = run()
+    # the 2^24 SNARK is the biggest live set any bench runs (trace columns
+    # + packed tables + 2^25 codeword); co-tenant HBM spikes kill it first,
+    # so run every attempt under the OOM-retry wrapper (tighter chunked
+    # budgets on RESOURCE_EXHAUSTED - transcripts identical either way)
+    from multilinear_tpu.resilience import prove_with_retry
+
+    prove_with_retry(run)
+    proof, dt = prove_with_retry(run)
+    _, dt2 = prove_with_retry(run)
     dt = min(dt, dt2)
     vt = Transcript()
     verifier = System.verifier(

@@ -246,6 +246,31 @@ def _device_fri_round2(code, inv_pows, tr_state, k: int):
     return nxt2, (pairs_a, layers_a), (pairs_b, layers_b), tr
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _device_fri_round4(code, inv_pows, tr_state, k: int):
+    """FOUR consecutive streamed FRI rounds in one device program.
+
+    Mid-size gate and rationale exactly as pcs._device_pcs_round4: the
+    tunnel's dispatch floor dominates rounds whose fold+hash compute is a
+    few ms, and XLA:CPU compile cost keeps this TPU-only
+    (config.stream_round_quad_max_code).
+    """
+    from . import device_transcript as dtr
+    from .field.scalar import TWO_INV as _TI
+
+    half_limbs = jnp.asarray(limbs.pack_scalar(_TI))
+    outs = []
+    cur, tr = code, tr_state
+    for i in range(4):
+        r = dtr.challenge(tr)
+        half = cur.shape[-1] // 2
+        tw = inv_pows[:, :: 1 << (k + i)][:, :half]
+        cur, pairs, layers = _fold_and_commit(cur, tw, r, half_limbs)
+        tr = dtr.absorb_words(tr, layers[-1][:, 0])
+        outs.append((pairs, layers))
+    return cur, tuple(outs), tr
+
+
 def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
     """Stream as many plain-FRI rounds as possible entirely on device.
 
@@ -295,6 +320,29 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
                 continue
         if m > get_config().fused_round_max_code:
             break
+        from .config import stream_round_quad_value
+
+        quad_max = stream_round_quad_value()
+        if (
+            get_config().stream_round_pairs
+            and quad_max
+            and m <= quad_max
+            and all(
+                (half >> i) > blowup and (half >> i) > HOST_THRESHOLD()
+                for i in range(1, 4)
+            )
+        ):
+            from . import stats
+
+            nxt, quad_outs, tr_state = _device_fri_round4(
+                data._current, inv_pows, tr_state, k
+            )
+            data._current = nxt
+            for pairs_i, layers_i in quad_outs:
+                data.trees.append(MerkleTree(list(layers_i), pairs_i))
+            stats.bump("fri_rounds_streamed_quad", 4)
+            done += 4
+            continue
         if (
             get_config().stream_round_pairs
             and half <= get_config().fused_round_max_code
@@ -321,6 +369,14 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
     return done
 
 
+@jax.jit
+def _absorb_root_device(tr_state, root_words):
+    """Absorb an (8,) root-word vector into a device transcript state."""
+    from . import device_transcript as dtr
+
+    return dtr.absorb_words(tr_state, root_words)
+
+
 def _host_commit_code(code_bytes: np.ndarray) -> FieldHostTree:
     half = code_bytes.shape[0] // 2
     return FieldHostTree([code_bytes[:half], code_bytes[half:]])
@@ -341,6 +397,13 @@ class FriProverData:
         self._log_domain: int = 0
         self._current = None  # device (8, m) array
         self._current_host: Optional[np.ndarray] = None  # (m, 16) uint8
+        # Zero-sync init (init(defer_absorb=True)): a device transcript
+        # state with the L0 root already absorbed, while the HOST
+        # transcript has NOT been advanced.  Consumed by the streamed
+        # round driver (which syncs the host transcript when it fetches
+        # the final round state); any host-driven consumer must call
+        # ensure_transcript() first.
+        self._pending_tr_state = None
 
     def _maybe_to_host(self) -> None:
         if self._current_host is None and self._current.shape[-1] <= HOST_THRESHOLD():
@@ -349,8 +412,17 @@ class FriProverData:
             self._current = None
 
     @staticmethod
-    def init(code, transcript: Transcript) -> "FriProverData":
-        """Commit to the initial codeword and absorb the root."""
+    def init(code, transcript: Transcript, defer_absorb: bool = False) -> "FriProverData":
+        """Commit to the initial codeword and absorb the root.
+
+        ``defer_absorb``: absorb the root into a DEVICE transcript state
+        instead of fetching it to the host - ``root_bytes()`` is a
+        device_get round trip (~9-26 ms over the tunnel) and the ONLY
+        hard host sync between encode and the streamed rounds.  The host
+        transcript catches up when the round driver fetches the final
+        round state (or via ``ensure_transcript``).  Transcript bytes are
+        identical either way (pinned by the golden/parity tests).
+        """
         n = code.shape[-1]
         assert n & (n - 1) == 0, "input size must be a power of two"
         data = FriProverData()
@@ -359,11 +431,35 @@ class FriProverData:
         data._maybe_to_host()
         if data._current_host is not None:
             tree = _host_commit_code(data._current_host)
-        else:
-            tree = _commit_code(code)
+            data.trees.append(tree)
+            transcript.absorb(tree.root_bytes())
+            return data
+        tree = _commit_code(code)
         data.trees.append(tree)
+        if defer_absorb:
+            from . import device_transcript as dtr
+
+            try:
+                tr_state = dtr.state_from_host(transcript)
+            except ValueError:
+                pass  # non-word-aligned: fall through to the host absorb
+            else:
+                data._pending_tr_state = _absorb_root_device(
+                    tr_state, tree.layers[-1][:, 0]
+                )
+                return data
         transcript.absorb(tree.root_bytes())
         return data
+
+    def ensure_transcript(self, transcript: Transcript) -> None:
+        """Materialize a deferred L0-root absorb into the HOST transcript.
+
+        Must be called before any host-driven transcript use (host round
+        fallback, checkpoint save) when ``init(defer_absorb=True)`` was
+        used and the streamed rounds have not run yet."""
+        if self._pending_tr_state is not None:
+            self._pending_tr_state = None
+            transcript.absorb(self.trees[0].root_bytes())
 
     @staticmethod
     def init_from_host_bytes(code_bytes: np.ndarray, transcript: Transcript) -> "FriProverData":

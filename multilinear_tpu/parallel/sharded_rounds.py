@@ -36,6 +36,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..field import limbs, ops
 from ..field.scalar import TWO_INV
+from ..merkle import _pair_msg
 from ..sha256 import limbs_to_words, sha256_words
 from . import ROWS
 from .shard_step import _local_mul, _psum_mod
@@ -105,8 +106,7 @@ def _commit_body(n_lo, n_hi):
     cur = _local_sha256(words, 8)
     levels = [cur]
     while cur.shape[1] > 1:
-        pairs = cur.reshape(8, cur.shape[1] // 2, 2)
-        msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        msg = _pair_msg(cur)
         cur = _local_sha256(msg, 16)
         levels.append(cur)
     return tuple(levels)
@@ -196,8 +196,7 @@ def _commit_body_big(n_lo, n_hi, C: int):
     cur = jax.lax.fori_loop(0, q // C, body, jnp.zeros((8, q), jnp.uint32))
     levels = [cur]
     while cur.shape[1] > 1:
-        pairs = cur.reshape(8, cur.shape[1] // 2, 2)
-        msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        msg = _pair_msg(cur)
         cur = _local_sha256(msg, 16)
         levels.append(cur)
     return tuple(levels)
@@ -271,8 +270,7 @@ def make_pcs_round(mesh, chunk: int = None):
         # top levels: hash the gathered per-shard roots (tiny, replicated)
         cur = layers[-1]
         while cur.shape[1] > 1:
-            pairs = cur.reshape(8, cur.shape[1] // 2, 2)
-            msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+            msg = _pair_msg(cur)
             cur = sha256_words(msg, 16)
             layers.append(cur)
         pairs_arr = nxt.reshape(8, 2, q)
@@ -318,8 +316,7 @@ def make_fri_round(mesh):
         layers = list(commit(nxt[:, :q], nxt[:, q:]))
         cur = layers[-1]
         while cur.shape[1] > 1:
-            pairs = cur.reshape(8, cur.shape[1] // 2, 2)
-            msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+            msg = _pair_msg(cur)
             cur = sha256_words(msg, 16)
             layers.append(cur)
         pairs_arr = nxt.reshape(8, 2, q)

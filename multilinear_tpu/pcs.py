@@ -241,10 +241,16 @@ def _device_rounds(
     blowup = 1 << LOG_BLOWUP
     if tables.on_host or fri_data._current_host is not None:
         return 0, [], previous_sum
-    try:
-        tr_state = dtr.state_from_host(transcript)
-    except ValueError:  # non-word-aligned prior absorbs: host rounds only
-        return 0, [], previous_sum
+    if fri_data._pending_tr_state is not None:
+        # zero-sync init: the L0 root was absorbed on device and the host
+        # transcript is behind; the fetch at the end of this function
+        # brings it up to date (pending cleared only if rounds ran)
+        tr_state = fri_data._pending_tr_state
+    else:
+        try:
+            tr_state = dtr.state_from_host(transcript)
+        except ValueError:  # non-word-aligned prior absorbs: host rounds only
+            return 0, [], previous_sum
 
     prev = jnp.asarray(limbs.pack_scalar(previous_sum))
     inv_pows = inv_gen_pows(fri_data._log_domain)
@@ -398,6 +404,9 @@ def _device_rounds(
         k += 1
     if k == 0:
         return 0, [], previous_sum
+    # rounds ran from the deferred state: the host transcript is synced by
+    # the fetch below, so the pending absorb is consumed
+    fri_data._pending_tr_state = None
 
     # one synchronization: fetch the round scalars + final transcript state
     fetched = device_get_tree((outs, tr_state, prev))
@@ -552,8 +561,14 @@ class PCSProverSession:
         else:
             code = encode_mle_for_fri(evals)
             pt.mark("encode", sync=code)
-            self.fri_data = FriProverData.init(code, transcript)
-        pt.mark("commit_l0")  # root_bytes() inside init is the sync
+            # defer_absorb: the L0 root is absorbed into the DEVICE
+            # transcript so no host round trip sits between the commit and
+            # the streamed rounds (the only mid-prove hard sync otherwise)
+            self.fri_data = FriProverData.init(code, transcript, defer_absorb=True)
+            root_sync = self.fri_data.trees[0].layers[-1]
+            pt.mark("commit_l0", sync=root_sync)
+        if self.fri_data._current_host is not None:
+            pt.mark("commit_l0")  # host commit: root_bytes was the sync
         self.tables = SumcheckTables.for_pcs(self.inputs, evals)
         if self.tables.data is not None:
             pt.mark("tables", sync=self.tables.data)
@@ -592,6 +607,9 @@ class PCSProverSession:
                     done += dev_done
                     pt.mark("rounds_streaming")  # ends in its own device_get
                     continue
+            # host-driven round: materialize the deferred L0-root absorb
+            # into the host transcript first (no-op unless pending)
+            self.fri_data.ensure_transcript(self.transcript)
             pol, r, self.previous_sum = self.tables.round_poly(
                 identity_composition, 2, self.previous_sum, self.transcript
             )
@@ -635,6 +653,9 @@ class PCSProverSession:
     def save(self, path: str) -> None:
         from .checkpoint import normalize_ckpt_path, save_pcs_state
 
+        # checkpoints serialize the HOST transcript: flush any deferred
+        # device-side L0-root absorb before snapshotting
+        self.fri_data.ensure_transcript(self.transcript)
         path = normalize_ckpt_path(path)
         save_pcs_state(
             path,

@@ -314,3 +314,35 @@ def test_quad_round_fusion_bit_identical():
     assert stats.get("rounds_streamed_quad") >= 4, stats.counters
     assert pcs_proof_to_bytes(got) == pcs_proof_to_bytes(ref)
     got.verify(Transcript())
+
+
+@pytest.mark.slow
+def test_fri_quad_round_fusion_bit_identical():
+    """The 4-rounds-per-dispatch standalone-FRI program
+    (fri._device_fri_round4) is byte-identical to the host path.  Slow for
+    the same XLA:CPU compile-cost reason as the PCS quad test above."""
+    from multilinear_tpu.fri import FriProof
+    from multilinear_tpu.ntt import reed_solomon
+    from multilinear_tpu.serialize import fri_proof_to_bytes
+
+    log_n = 9
+    vals = np.arange(1 << log_n, dtype=np.uint64) * 3 + 1
+    code = reed_solomon(jnp.asarray(limbs.pack_ints(vals)))
+    ref = FriProof.prove(code, Transcript())  # host path at this size
+
+    old = get_config()
+    stats.reset()
+    try:
+        set_config(
+            ProverConfig(
+                host_threshold=16,
+                stream_round_quad_max_code=1 << 21,
+                shard_map_rounds=False,
+            )
+        )
+        got = FriProof.prove(code, Transcript())
+    finally:
+        set_config(old)
+    assert stats.get("fri_rounds_streamed_quad") >= 4, stats.counters
+    assert fri_proof_to_bytes(got) == fri_proof_to_bytes(ref)
+    got.verify()

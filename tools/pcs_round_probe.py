@@ -159,6 +159,67 @@ def main() -> int:
             f"codeword_fold {t_fold*1e3:7.2f} ms   tree_commit {t_tree*1e3:7.2f} ms   "
             f"table_fold {t_tblfold*1e3:7.2f} ms"
         )
+    # -- oversized-round (k=0) decomposition + Pallas alternatives ----------
+    # The BIG rounds (m > fused_round_max_code) run chunked jnp kernels
+    # (fori_loop + dynamic_slice).  This times each component at 2^25 and
+    # the Pallas fused fold+leaf-hash at the same size - grid-streamed
+    # VMEM temporaries, so the HBM live set is just the in/out buffers.
+    def timeit2(fn, *args, reps=4):
+        out = fn(*args)
+        sync(out)
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    from multilinear_tpu.fri import _fold_codeword_chunked_kernel
+    from multilinear_tpu.merkle import _commit_layers_chunked_fused
+    from multilinear_tpu.sumcheck import (
+        _chunked_fold_kernel, _chunked_partial_sums_kernel,
+    )
+    from multilinear_tpu.sumcheck import identity_composition as idc
+
+    msize = 1 << (log_n + LOG_BLOWUP)
+    code0 = jnp.asarray(
+        limbs.pack_ints(np.arange(msize, dtype=np.uint64) * 5 + 1, shape=(msize,))
+    )
+    data0 = jnp.asarray(
+        limbs.pack_ints(np.arange(msize, dtype=np.uint64) * 3 + 2, shape=(msize,))
+    ).reshape(8, 2, msize // 2)
+    r = jnp.asarray(limbs.pack_scalar(Fp(12345)))
+    aux0 = jnp.zeros((0, 8), jnp.uint32)
+    try:
+        t_ps = timeit2(
+            lambda: _chunked_partial_sums_kernel(data0, aux0, C, 2, idc)
+        )
+        t_tf = timeit2(lambda: _chunked_fold_kernel(data0, r, C))
+        t_cf = timeit2(
+            lambda: _fold_codeword_chunked_kernel(code0, inv_pows, r, half_limbs, 0, C)
+        )
+        pairs0 = code0.reshape(8, 2, msize // 2)
+        t_cm = timeit2(lambda: _commit_layers_chunked_fused(pairs0, 2))
+        print(
+            f"  BIG k=0 components (2^{log_n + LOG_BLOWUP}): partial_sums {t_ps*1e3:7.2f} ms   "
+            f"table_fold {t_tf*1e3:7.2f} ms   code_fold {t_cf*1e3:7.2f} ms   "
+            f"commit {t_cm*1e3:7.2f} ms"
+        )
+    except Exception as e:
+        print(f"  BIG k=0 components failed: {type(e).__name__}: {e}")
+
+    try:
+        from multilinear_tpu.field import pallas_ops
+
+        if pallas_ops.fold_commit_supported(msize):
+            tw0 = inv_pows[:, : msize // 2]
+            t_pfc = timeit2(
+                lambda: pallas_ops.fold_commit_leaves(code0, tw0, r, half_limbs)
+            )
+            print(f"  PALLAS fold+leaf-hash at 2^{log_n + LOG_BLOWUP}: {t_pfc*1e3:7.2f} ms")
+    except Exception as e:
+        print(f"  PALLAS fold+commit at full size failed: {type(e).__name__}: {e}")
     return 0
 
 
