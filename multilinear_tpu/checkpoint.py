@@ -49,7 +49,13 @@ def _put(store, key, arr):
 
 def _store_tree(store, meta_trees: list, prefix: str, tree) -> None:
     if isinstance(tree, MerkleTree):
-        meta_trees.append({"kind": "device", "levels": len(tree.layers)})
+        meta_trees.append(
+            {
+                "kind": "device",
+                "levels": len(tree.layers),
+                "bitrev": bool(tree.bitrev_levels),
+            }
+        )
         _put(store, f"{prefix}_cols", tree.leaf_columns)
         for l_i, layer in enumerate(tree.layers):
             _put(store, f"{prefix}_layer{l_i}", layer)
@@ -66,7 +72,11 @@ def _store_tree(store, meta_trees: list, prefix: str, tree) -> None:
 def _load_tree(z, tmeta, prefix: str):
     if tmeta["kind"] == "device":
         layers = [jnp.asarray(z[f"{prefix}_layer{l}"]) for l in range(tmeta["levels"])]
-        return MerkleTree(layers, jnp.asarray(z[f"{prefix}_cols"]))
+        return MerkleTree(
+            layers,
+            jnp.asarray(z[f"{prefix}_cols"]),
+            bitrev_levels=tmeta.get("bitrev", False),
+        )
     tree = FieldHostTree.__new__(FieldHostTree)
     tree.columns = [z[f"{prefix}_col{c}"] for c in range(tmeta["ncols"])]
     tree.layers = [z[f"{prefix}_layer{l}"] for l in range(tmeta["levels"])]

@@ -111,6 +111,15 @@ class ProverConfig:
     # crossover is where pass(h0) ~ dispatch: h0 ~ 2^17; 2^16 keeps slack
     # for wider tables.  Byte-identical everywhere (pinned).
     sc_scan_tail_height: Optional[int] = None
+    # Oversized PCS rounds as a THREE-program split (chunked sumcheck
+    # half + Pallas fused fold+leaf-hash + tree walk) instead of the one
+    # chunked program.  ~130 ms faster at 2^24 when the chip is quiet
+    # (fold+commit 44 ms vs 88+135 ms, tools/pcs_round_probe.py) but the
+    # extra transient footprint lost the co-tenant HBM lottery repeatedly
+    # in round-5 testing while the chunked path ran clean - keep the
+    # robust default (round-1 lesson: a faster fused path that OOMs
+    # whenever a neighbor spikes is not worth it).
+    oversized_pallas_split: bool = False
     # Standalone-sumcheck ONE-DISPATCH mode: the whole protocol (streamed
     # rounds at shrinking shapes + the fixed-shape scan tail) as a single
     # device program (sumcheck._sc_fused_all) - per-dispatch tunnel

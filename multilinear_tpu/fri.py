@@ -315,7 +315,8 @@ def _device_fri_rounds(data: "FriProverData", transcript: Transcript) -> int:
                 )
                 stats.bump("fri_rounds_shard_map")
                 data._current = nxt
-                data.trees.append(MerkleTree(list(layers), pairs))
+                # shard_map subtree levels are stored in NATURAL order
+                data.trees.append(MerkleTree(list(layers), pairs, bitrev_levels=False))
                 done += 1
                 continue
         if m > get_config().fused_round_max_code:

@@ -42,7 +42,8 @@ import jax
 
 
 def _pair_msg(cur):
-    """(8, n) digest words -> (16, n/2) left||right node messages.
+    """(8, n) digest words -> (16, n/2) left||right node messages, natural
+    sibling order (children 2i / 2i+1 adjacent in ``cur``).
 
     The naive stride-2 lane gather (pairs[:, :, 0] / [:, :, 1]) costs
     ~14 ms at 2^21 nodes on the v5e - XLA lowers it as a full-lane
@@ -51,6 +52,13 @@ def _pair_msg(cur):
     lowers ~3x faster (tools/glue_probe.py: 14 ms -> 5 ms real cost at
     2^22).  Bit-identical outputs (asserted in the probe and pinned by
     every Merkle/golden test).
+
+    Either form still makes XLA reserve GiB-scale temps at big widths
+    (the intermediate carries a minormost dim of 2, which tile-padding
+    inflates ~64x: gather form 8.2 GiB, blocked form 4.4 GiB reserved at
+    2^23).  The single-chip commit paths therefore store tree levels in
+    BITREV order instead (see ``_halving_walk``) and only the shard_map
+    subtree bodies (small per-shard widths) still use this.
     """
     n = cur.shape[1]
     if n >= 256:
@@ -60,6 +68,29 @@ def _pair_msg(cur):
     return jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
 
 
+def _halving_walk(cur):
+    """All tree levels above ``cur``, with every level stored in BITREV
+    order; ``cur`` itself must already be bitrev-ordered.
+
+    With a level stored bitrev, the two children of the node at stored
+    position p sit at positions (p, p + width/2) of the level below -
+    CONTIGUOUS halves, so building each level's message block is two free
+    slices instead of an even/odd lane de-interleave.  This cuts the
+    XLA temp reservation of a 2^23-leaf tree walk from 4.4 GiB to
+    0.5 GiB and removes the residual shuffle cost per level.  The stored
+    arrays are a per-level permutation of the natural-order tree: the
+    digest VALUES, the root, and every opened path are identical; only
+    gather positions change (see _gather_one's index mapping).
+    """
+    layers = []
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        msg = jnp.concatenate([cur[:, :half], cur[:, half:]], axis=0)
+        cur = sha256_words(msg, 16)
+        layers.append(cur)
+    return tuple(layers)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _commit_layers(leaf_columns, B: int):
     """Hash leaves and every tree level in ONE traced computation.
@@ -67,17 +98,17 @@ def _commit_layers(leaf_columns, B: int):
     Fusing all levels into a single dispatch matters on TPU: the driver
     loop otherwise pays a host->device round trip per level, and with the
     remote-tunnel dispatch latency that dominates the hash work itself.
-    Returns a tuple of (8, n_i) digest-word arrays, leaf level first.
+    Returns a tuple of (8, n_i) digest-word arrays, leaf level first:
+    layer 0 in natural leaf order, upper levels in bitrev order (see
+    _halving_walk).
     """
+    from .mle import bit_reverse
+
     words = jnp.concatenate(
         [limbs_to_words(leaf_columns[:, b, :]) for b in range(B)], axis=0
     )  # (4B, n)
     cur = sha256_words(words, 4 * B)
-    layers = [cur]
-    while cur.shape[1] > 1:
-        cur = sha256_words(_pair_msg(cur), 16)
-        layers.append(cur)
-    return tuple(layers)
+    return (cur,) + _halving_walk(bit_reverse(cur))
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -91,19 +122,17 @@ def _leaf_hashes(leaf_columns, B: int):
 
 @jax.jit
 def _tree_levels(leaves):
-    """All levels above the leaf digests: (8, n) -> tuple of (8, n/2)..."""
-    cur = leaves
-    layers = []
-    while cur.shape[1] > 1:
-        cur = sha256_words(_pair_msg(cur), 16)
-        layers.append(cur)
-    return tuple(layers)
+    """All levels above NATURAL-order leaf digests: (8, n) -> tuple of
+    (8, n/2)... levels in BITREV order (see _halving_walk)."""
+    from .mle import bit_reverse
+
+    return _halving_walk(bit_reverse(leaves))
 
 
 @jax.jit
-def _one_level(cur):
-    """One tree level as its own program: (8, n) -> (8, n/2)."""
-    return sha256_words(_pair_msg(cur), 16)
+def _halving_level_chunk(lo, hi):
+    """One bitrev-level chunk: digests of H(lo[i] || hi[i])."""
+    return sha256_words(jnp.concatenate([lo, hi], axis=0), 16)
 
 
 # Above this leaf count the single fused commit program exceeds the
@@ -117,23 +146,33 @@ _COMMIT_CHUNK = 1 << 22
 
 
 def _commit_layers_chunked(leaf_columns, B: int):
-    """Chunked commit as traceable ops (callers decide the jit boundary)."""
+    """Chunked commit as traceable ops (callers decide the jit boundary).
+
+    Layer 0 natural, upper levels bitrev (see _halving_walk); the bitrev
+    pairing makes the big-level chunking two contiguous half-slices per
+    chunk instead of even-offset pair windows.
+    """
+    from .mle import bit_reverse
+
     n = leaf_columns.shape[-1]
     leaf_digs = [
         _leaf_hashes(leaf_columns[:, :, s : s + _COMMIT_CHUNK], B)
         for s in range(0, n, _COMMIT_CHUNK)
     ]
-    cur = jnp.concatenate(leaf_digs, axis=1)
-    layers = [cur]
-    # big levels: one bounded program per slice (slices at even offsets keep
-    # sibling pairs intact)
+    leaf_level = jnp.concatenate(leaf_digs, axis=1)
+    layers = [leaf_level]
+    cur = bit_reverse(leaf_level)
+    # big levels: one bounded program per chunk
     while cur.shape[1] > _COMMIT_FUSE_MAX:
-        m = cur.shape[1]
-        step = 2 * _COMMIT_CHUNK
-        outs = [_one_level(cur[:, s : s + step]) for s in range(0, m, step)]
+        half = cur.shape[1] // 2
+        step = _COMMIT_CHUNK
+        outs = [
+            _halving_level_chunk(cur[:, s : s + step], cur[:, half + s : half + s + step])
+            for s in range(0, half, step)
+        ]
         cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         layers.append(cur)
-    layers.extend(_tree_levels(cur))
+    layers.extend(_halving_walk(cur))
     return tuple(layers)
 
 
@@ -148,37 +187,58 @@ _commit_layers_chunked_fused = partial(jax.jit, static_argnums=(1,))(
 )
 
 
-def _gather_one(layers, leaf_columns, idx):
+def _rev_idx(idx, bits: int):
+    """Bit-reverse an int32 index array within ``bits`` bits (traced)."""
+    out = jnp.zeros_like(idx)
+    for b in range(bits):
+        out = out | (((idx >> b) & 1) << (bits - 1 - b))
+    return out
+
+
+def _gather_one(layers, leaf_columns, idx, bitrev_levels: bool):
+    if leaf_columns.ndim == 2:
+        # flat (8, m) codeword standing in for its (8, 2, m/2) pair view
+        # (stored flat so the streamed big rounds output ONE buffer; the
+        # reshape here is free inside the gather jit)
+        leaf_columns = leaf_columns.reshape(8, 2, leaf_columns.shape[1] // 2)
     vals = jnp.take(leaf_columns, idx, axis=2)
     sibs = []
     cur = idx
-    for layer in layers[:-1]:
-        sibs.append(jnp.take(layer, cur ^ 1, axis=1))
+    for l, layer in enumerate(layers[:-1]):
+        pos = cur ^ 1
+        if bitrev_levels and l > 0:
+            # upper levels are stored bitrev (see _halving_walk): node i
+            # of a width-w level sits at stored position rev_log2(w)(i)
+            pos = _rev_idx(pos, layer.shape[1].bit_length() - 1)
+        sibs.append(jnp.take(layer, pos, axis=1))
         cur = cur // 2
     return vals, jnp.stack(sibs, axis=0)
 
 
-@jax.jit
-def _gather_openings(layers, leaf_columns, idx):
+@partial(jax.jit, static_argnums=(3,))
+def _gather_openings(layers, leaf_columns, idx, bitrev_levels: bool):
     """Leaf payloads + sibling digests for ALL queries in one dispatch.
 
     idx: (nq,) int32 leaf indices.  Returns ((8, B, nq) values,
     (L, 8, nq) sibling digests stacked over levels) - exactly TWO arrays,
     so the host pays two transfers per tree instead of one per level.
     """
-    return _gather_one(layers, leaf_columns, idx)
+    return _gather_one(layers, leaf_columns, idx, bitrev_levels)
 
 
-@jax.jit
-def _gather_openings_multi(layers_per_tree, leaf_cols_per_tree, idx_per_tree):
+@partial(jax.jit, static_argnums=(3,))
+def _gather_openings_multi(layers_per_tree, leaf_cols_per_tree, idx_per_tree, bitrev_flags):
     """Query openings for MANY trees in one dispatch (tuple pytree args).
 
     The FRI query phase opens every fold layer's tree at related indices;
     batching all trees into one launch removes a per-tree dispatch
-    round-trip (the remote-tunnel latency otherwise dominates)."""
+    round-trip (the remote-tunnel latency otherwise dominates).
+    ``bitrev_flags``: per-tree level-storage-order flags (static)."""
     return tuple(
-        _gather_one(ls, lc, ix)
-        for ls, lc, ix in zip(layers_per_tree, leaf_cols_per_tree, idx_per_tree)
+        _gather_one(ls, lc, ix, br)
+        for ls, lc, ix, br in zip(
+            layers_per_tree, leaf_cols_per_tree, idx_per_tree, bitrev_flags
+        )
     )
 
 
@@ -189,9 +249,17 @@ class MerkleTree:
     (8, B, n) - B field elements per leaf, leaf index on the last axis.
     """
 
-    def __init__(self, layers, leaf_columns):
+    def __init__(self, layers, leaf_columns, bitrev_levels: bool = True):
         self.layers = layers  # list of (8, n_i) digest word arrays, leaf level first
-        self.leaf_columns = leaf_columns  # (8, B, n) limb array
+        # (8, B, n) limb array; a flat (8, 2n) codeword is also accepted
+        # as shorthand for its B=2 pair view (reshaped lazily in the
+        # gather jits - lets streamed rounds output a single buffer)
+        self.leaf_columns = leaf_columns
+        # True: upper levels stored in bitrev order (every single-chip
+        # commit path, see _halving_walk); False: natural order (the
+        # shard_map per-shard subtree bodies).  Storage order only -
+        # digest values, root and opened paths are identical either way.
+        self.bitrev_levels = bitrev_levels
         self._root_bytes = None
 
     # -- commitment ---------------------------------------------------------
@@ -234,7 +302,10 @@ class MerkleTree:
         payloads and sibling digests for every query and level."""
         idx = np.asarray(list(indices), dtype=np.int32)
         vals_dev, sibs_dev = device_get_tree(
-            _gather_openings(tuple(self.layers), self.leaf_columns, jnp.asarray(idx))
+            _gather_openings(
+                tuple(self.layers), self.leaf_columns, jnp.asarray(idx),
+                self.bitrev_levels,
+            )
         )
         return _assemble_paths(vals_dev, sibs_dev, idx)
 
@@ -246,6 +317,7 @@ class MerkleTree:
             tuple(tuple(t.layers) for t in trees),
             tuple(t.leaf_columns for t in trees),
             tuple(jnp.asarray(ix) for ix in idx_arrays),
+            tuple(t.bitrev_levels for t in trees),
         )
         # ONE bulk device->host fetch for every tree's gathered arrays: per-
         # array np.asarray would pay a tunnel round-trip each (~8 trees x 2

@@ -63,6 +63,24 @@ def _pcs_round_tail(data, code, inv_pows, r_limbs, half_limbs, k: int):
     return new_data, nxt, pairs, layers
 
 
+def _stride_pow2_slice(arr, k: int):
+    """arr[:, ::2**k] without the stride-2^k lane gather.
+
+    Expressed as k blocked minor-dims de-interleaves (each takes the even
+    component of a 128-lane-block transpose) - the direct strided slice
+    lowers as a full-lane shuffle, ~3x slower at big sizes
+    (tools/glue_probe.py).  Identical values.
+    """
+    for _ in range(k):
+        n = arr.shape[1]
+        if n >= 256:
+            b = arr.reshape(8, n // 256, 128, 2)
+            arr = jnp.moveaxis(b, 3, 1)[:, 0].reshape(8, n // 2)
+        else:
+            arr = arr[:, 0::2]
+    return arr
+
+
 def _round_scalars(sums, prev_sum, tr_state):
     """Traced scalar tail of a PCS round: interpolate the degree-2 round
     polynomial from its sums at X=1,2, absorb the nonzero coefficients,
@@ -209,11 +227,69 @@ def _device_pcs_round_big(data, code, inv_pows, tr_state, prev_sum, k: int, C: i
 
     half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
     new_data = _chunked_fold_kernel(data, r, C)
+
     nxt = _fold_codeword_chunked_kernel(code, inv_pows, r, half_limbs, k, C)
     pairs = nxt.reshape(8, 2, nxt.shape[-1] // 2)
     layers = _commit_layers_chunked(pairs, 2)
     tr = dtr.absorb_words(tr, layers[-1][:, 0])
     return new_data, nxt, pairs, layers, tr, (r, c1, c2, new_prev)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _device_pcs_round_big_a(data, tr_state, prev_sum, C: int):
+    """Sumcheck half of an oversized round: chunked partial sums, the
+    Fiat-Shamir scalars, and the chunked table fold.  Split from the
+    fold+commit half (``_device_pcs_round_big_b``) so each program's live
+    set stays under the backend's per-program budget - the one-program
+    Pallas variant OOMed at 2^25 (code + tables + pairs + digests + tree
+    in one live set)."""
+    from .sumcheck import _chunked_fold_kernel, _chunked_partial_sums_kernel
+
+    aux = jnp.zeros((0, 8), jnp.uint32)
+    sums = _chunked_partial_sums_kernel(data, aux, C, 2, identity_composition)
+    tr, r, c1, c2, new_prev = _round_scalars(sums, prev_sum, tr_state)
+    new_data = _chunked_fold_kernel(data, r, C)
+    return new_data, tr, (r, c1, c2, new_prev)
+
+
+# NOTE: ``code`` is NOT donated in the fold+commit programs - the Merkle
+# trees alias the codeword buffer as their pair-leaf payload (see
+# fri._commit_code), so the input must stay live for the query phase.
+@partial(jax.jit, static_argnums=(3,))
+def _device_pcs_round_big_b1(code, inv_pows, r_limbs, k: int):
+    """Fold+leaf-hash of an oversized round via the fused Pallas kernel
+    (grid-streamed VMEM tiles - works at any codeword size; measured
+    44 ms at 2^25 vs 88+135 ms for the chunked jnp fold + commit,
+    tools/pcs_round_probe.py).  Kept as its OWN program: composing it
+    with the tree walk in one jit made XLA reserve 4.9 GiB of temps
+    (layout blowup) and the following pair round died RESOURCE_EXHAUSTED.
+    """
+    from .field import pallas_ops
+    from .field import limbs as _limbs
+
+    m = code.shape[-1]
+    half_limbs = jnp.asarray(_limbs.pack_scalar(TWO_INV))
+    tw = _stride_pow2_slice(inv_pows, k)[:, : m // 2]
+    pairs, leaf = pallas_ops.fold_commit_leaves(code, tw, r_limbs, half_limbs)
+    # ONE codeword buffer out (its pair view is derived lazily in the
+    # Merkle gather jits) - returning pairs AND the flat fold separately
+    # retained an extra ~0.5 GiB that tipped the following pair round
+    # into RESOURCE_EXHAUSTED
+    return pairs.reshape(8, m // 2), leaf
+
+
+@jax.jit
+def _device_pcs_round_big_b2(leaf, tr_state):
+    """Tree levels ABOVE the leaf digests + on-device root absorb.
+
+    The leaf level itself is not returned (the caller already holds it
+    from b1; returning an input as an output would materialize a copy)."""
+    from . import device_transcript as dtr
+    from .merkle import _tree_levels
+
+    uppers = _tree_levels(leaf)
+    tr = dtr.absorb_words(tr_state, uppers[-1][:, 0])
+    return uppers, tr
 
 
 def _device_rounds(
@@ -307,7 +383,8 @@ def _device_rounds(
                 stats.bump(counter)
                 tables.apply_folded(new_data)
                 fri_data._current = nxt
-                fri_data.trees.append(MerkleTree(list(layers), pairs))
+                # shard_map subtree levels are stored in NATURAL order
+                fri_data.trees.append(MerkleTree(list(layers), pairs, bitrev_levels=False))
                 prev = meta[3]
                 outs.append(meta)
                 k += 1
@@ -322,10 +399,42 @@ def _device_rounds(
                 or half % C
             ):
                 break  # oversized round: the chunked host-driven path handles it
-            new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round_big(
-                tables.data, fri_data._current, inv_pows, tr_state, prev,
-                start_k + k, C,
-            )
+            from .config import pallas_enabled
+
+            # Pallas split big round: measured ~130 ms faster at 2^24
+            # (fold+leaf-hash 44 ms vs 88+135 ms chunked) but its extra
+            # transient footprint loses the co-tenant HBM lottery more
+            # often than the chunked program (repeated RESOURCE_EXHAUSTED
+            # at the following round in this round's testing, while the
+            # chunked path ran clean) - so it is opt-in until the chip's
+            # ambient pressure story changes.  See config field docs.
+            use_split = False
+            if get_config().oversized_pallas_split and pallas_enabled():
+                from .field import pallas_ops
+                from .merkle import _COMMIT_FUSE_MAX
+
+                use_split = (
+                    pallas_ops.fold_commit_supported(m)
+                    and m // 4 <= _COMMIT_FUSE_MAX
+                )
+            if use_split:
+                # three bounded programs, zero host syncs between them:
+                # the challenge r and the leaf digests stay on device
+                new_data, tr_state, meta = _device_pcs_round_big_a(
+                    tables.data, tr_state, prev, C
+                )
+                nxt, leaf = _device_pcs_round_big_b1(
+                    fri_data._current, inv_pows, meta[0], start_k + k
+                )
+                uppers, tr_state = _device_pcs_round_big_b2(leaf, tr_state)
+                layers = (leaf,) + tuple(uppers)
+                pairs = nxt  # flat codeword; pair view derived in the gathers
+                stats.bump("rounds_streamed_oversized_pallas")
+            else:
+                new_data, nxt, pairs, layers, tr_state, meta = _device_pcs_round_big(
+                    tables.data, fri_data._current, inv_pows, tr_state, prev,
+                    start_k + k, C,
+                )
             stats.bump("rounds_streamed_oversized")
         else:
             # fuse FOUR rounds for mid-size codewords (the dispatch floor

@@ -182,6 +182,9 @@ def main() -> int:
     )
     from multilinear_tpu.sumcheck import identity_composition as idc
 
+    # free every earlier probe array before the full-size section (the
+    # first run of this section OOMed while the round-walk state was live)
+    del data, cur, tables, fri_data, codek, datak, pairs
     msize = 1 << (log_n + LOG_BLOWUP)
     code0 = jnp.asarray(
         limbs.pack_ints(np.arange(msize, dtype=np.uint64) * 5 + 1, shape=(msize,))
